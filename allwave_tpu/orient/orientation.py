@@ -1,0 +1,118 @@
+"""Strand-orientation detection.
+
+Two methods, matching the reference:
+
+* mash (default): strand-specific MinHash sketches of target, query, and
+  revcomp(query); pick the orientation with the higher Jaccard; ties go
+  forward (reference: alignment.rs:69-94, k=15, sketch_size=1000).
+* WFA edit distance: align both orientations globally with the
+  edit-distance params and count X/I/D ops; ties go forward
+  (reference: alignment.rs:157-175).
+
+The reference re-sketches the target for every pair; we precompute one
+stranded sketch per sequence and one per revcomp'd sequence (identical
+results, O(n) instead of O(pairs) sketching).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence as PySequence
+
+import numpy as np
+
+from ..core.types import Sequence
+from ..sketch.minhash import jaccard, sketch_stranded
+
+ORIENTATION_KMER_SIZE = 15  # reference: alignment.rs:70
+ORIENTATION_SKETCH_SIZE = 1000  # reference: alignment.rs:75
+
+# Whole-sequence reverse complement (reference: alignment.rs:178-190):
+# uppercase complement; N stays N; any other byte becomes 'N'.
+_SEQ_COMP = np.full(256, ord("N"), dtype=np.uint8)
+for _src, _dst in zip(b"AaTtCcGgNn", b"TTAAGGCCNN"):
+    _SEQ_COMP[_src] = _dst
+
+
+def reverse_complement(seq: bytes) -> bytes:
+    """Reverse complement with non-ACGTN mapped to 'N'
+    (reference: alignment.rs:178-190)."""
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    return _SEQ_COMP[arr][::-1].tobytes()
+
+
+class OrientationIndex:
+    """Per-sequence cache of stranded sketches and reverse complements.
+
+    ``orient(i, j)`` answers: should query i be reverse-complemented before
+    aligning to target j? Deterministic and identical to the reference's
+    per-pair computation.
+    """
+
+    def __init__(
+        self,
+        sequences: PySequence[Sequence],
+        k: int = ORIENTATION_KMER_SIZE,
+        sketch_size: int = ORIENTATION_SKETCH_SIZE,
+    ):
+        self.sequences = sequences
+        self.k = k
+        self.sketch_size = sketch_size
+        self._fwd: list = [None] * len(sequences)
+        self._rev: list = [None] * len(sequences)
+        self._fwd_sets: list = [None] * len(sequences)
+        self._rev_sets: list = [None] * len(sequences)
+        self._rc_seq: list = [None] * len(sequences)
+
+    def rc(self, i: int) -> bytes:
+        if self._rc_seq[i] is None:
+            self._rc_seq[i] = reverse_complement(self.sequences[i].seq)
+        return self._rc_seq[i]
+
+    def _fwd_set(self, i: int) -> np.ndarray:
+        if self._fwd_sets[i] is None:
+            sk = sketch_stranded(self.sequences[i].seq, self.k, self.sketch_size)
+            self._fwd_sets[i] = np.unique(sk)
+        return self._fwd_sets[i]
+
+    def _rev_set(self, i: int) -> np.ndarray:
+        if self._rev_sets[i] is None:
+            sk = sketch_stranded(self.rc(i), self.k, self.sketch_size)
+            self._rev_sets[i] = np.unique(sk)
+        return self._rev_sets[i]
+
+    def orient(self, query_idx: int, target_idx: int) -> bool:
+        """True iff the query should be reverse-complemented
+        (reference: alignment.rs:69-94; ties -> forward)."""
+        t = self._fwd_set(target_idx)
+        fwd_j = _jaccard_sets(self._fwd_set(query_idx), t)
+        rev_j = _jaccard_sets(self._rev_set(query_idx), t)
+        return not (fwd_j >= rev_j)
+
+    def oriented_query(self, query_idx: int, target_idx: int):
+        """(query_bytes, is_reverse) after orientation."""
+        is_rev = self.orient(query_idx, target_idx)
+        if is_rev:
+            return self.rc(query_idx), True
+        return self.sequences[query_idx].seq, False
+
+
+def _jaccard_sets(s1: np.ndarray, s2: np.ndarray) -> float:
+    inter = np.intersect1d(s1, s2, assume_unique=True).size
+    union = s1.size + s2.size - inter
+    return inter / union if union > 0 else 0.0
+
+
+def determine_orientation_mash(query: bytes, target: bytes):
+    """One-shot mash orientation (reference: alignment.rs:69-94).
+
+    Returns (oriented_query_bytes, is_reverse).
+    """
+    t_sketch = sketch_stranded(target, ORIENTATION_KMER_SIZE, ORIENTATION_SKETCH_SIZE)
+    f_sketch = sketch_stranded(query, ORIENTATION_KMER_SIZE, ORIENTATION_SKETCH_SIZE)
+    rc = reverse_complement(query)
+    r_sketch = sketch_stranded(rc, ORIENTATION_KMER_SIZE, ORIENTATION_SKETCH_SIZE)
+    fwd_j = jaccard(f_sketch, t_sketch)
+    rev_j = jaccard(r_sketch, t_sketch)
+    if fwd_j >= rev_j:
+        return query, False
+    return rc, True

@@ -1,0 +1,177 @@
+"""MinHash (mash) k-mer sketching — vectorized.
+
+Replicates the reference's sketching semantics exactly
+(reference: /root/reference/src/mash.rs:78-133 and
+/root/reference/src/alignment.rs:97-149):
+
+* k-mer hash = Rust DefaultHasher (SipHash-1-3, zero keys) over the RAW
+  window bytes with the [u8] length-prefix discipline — case-sensitive.
+* windows containing any non-ACGT (case-insensitive) byte are skipped.
+* canonical sketch (distance matrices): per window take
+  min(hash(fwd), hash(revcomp-uppercased)); the reference's k-mer reverse
+  complement uppercases bases (mash.rs:122-133).
+* stranded sketch (orientation detection): fwd hash only, no
+  canonicalization (alignment.rs:97-122).
+* bottom-k MinHash = sort ALL window hashes ascending (duplicates kept!)
+  and truncate to sketch_size (mash.rs:103-106). Deduplication happens only
+  inside Jaccard, which is set-based (mash.rs:40-56).
+
+Unlike the reference — which re-sketches the target for every pair
+(alignment.rs:78, an O(pairs * L) hot spot) — callers here sketch each
+sequence once and reuse (see allwave_tpu.orient / allwave_tpu.engine).
+The results are identical because sketching is deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence as PySequence
+
+import numpy as np
+
+from ..core.types import Sequence
+from ..hashing.siphash import hash_kmers
+
+DEFAULT_KMER_SIZE = 15  # reference: mash.rs:12
+DEFAULT_SKETCH_SIZE = 1000  # reference: mash.rs:15
+
+# Per-byte tables ------------------------------------------------------------
+
+# valid DNA base, case-insensitive (reference: mash.rs:117-119)
+_IS_DNA = np.zeros(256, dtype=bool)
+for _b in b"ACGTacgt":
+    _IS_DNA[_b] = True
+
+# k-mer complement: uppercase ACGT mapping, all other bytes preserved
+# (reference: mash.rs:122-133)
+_KMER_COMP = np.arange(256, dtype=np.uint8)
+for _src, _dst in zip(b"ACGTacgt", b"TGCATGCA"):
+    _KMER_COMP[_src] = _dst
+
+
+def _valid_window_mask(seq: np.ndarray, k: int) -> np.ndarray:
+    """Boolean mask over windows: True iff all k bases are ACGT (any case)."""
+    invalid = (~_IS_DNA[seq]).astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(invalid)))
+    return (csum[k:] - csum[:-k]) == 0
+
+
+def sketch_stranded(seq_bytes: bytes, k: int, sketch_size: int) -> np.ndarray:
+    """Strand-specific MinHash sketch (reference: alignment.rs:97-122).
+
+    Returns sorted uint64 hashes, truncated to sketch_size, duplicates kept.
+    """
+    seq = np.frombuffer(seq_bytes, dtype=np.uint8)
+    if seq.size < k:
+        return np.zeros(0, dtype=np.uint64)
+    hashes = hash_kmers(seq, k)
+    valid = _valid_window_mask(seq, k)
+    h = np.sort(hashes[valid], kind="stable")
+    return h[:sketch_size]
+
+
+def sketch_canonical(seq_bytes: bytes, k: int, sketch_size: int) -> np.ndarray:
+    """Canonical MinHash sketch (reference: mash.rs:78-107).
+
+    Per valid window: min(hash(fwd raw bytes), hash(revcomp window)), where
+    the revcomp window is built with the uppercasing k-mer complement.
+    """
+    seq = np.frombuffer(seq_bytes, dtype=np.uint8)
+    if seq.size < k:
+        return np.zeros(0, dtype=np.uint64)
+    fwd = hash_kmers(seq, k)
+    # revcomp of window i of seq == window (L-k-i) of revcomp(seq)
+    rc_seq = _KMER_COMP[seq][::-1]
+    rev = hash_kmers(np.ascontiguousarray(rc_seq), k)[::-1]
+    canonical = np.minimum(fwd, rev)
+    valid = _valid_window_mask(seq, k)
+    h = np.sort(canonical[valid], kind="stable")
+    return h[:sketch_size]
+
+
+def jaccard(sketch1: np.ndarray, sketch2: np.ndarray) -> float:
+    """Set-based Jaccard of two sketches (reference: mash.rs:40-56)."""
+    s1 = np.unique(sketch1)
+    s2 = np.unique(sketch2)
+    inter = np.intersect1d(s1, s2, assume_unique=True).size
+    union = s1.size + s2.size - inter
+    if union == 0:
+        return 0.0
+    return inter / union
+
+
+def mash_distance_from_jaccard(j: float, k: int) -> float:
+    """Mash distance d = -(1/k) * ln(2J/(1+J)); J<=0 => 1.0
+    (reference: mash.rs:59-74)."""
+    if j <= 0.0:
+        return 1.0
+    ratio = (2.0 * j) / (1.0 + j)
+    if ratio <= 0.0:
+        return 1.0
+    return (-1.0 / k) * math.log(ratio)
+
+
+class KmerSketch:
+    """API-parity wrapper mirroring the reference's KmerSketch
+    (reference: mash.rs:19-75)."""
+
+    def __init__(self, minimizers: np.ndarray, k: int, length: int):
+        self.minimizers = minimizers
+        self.k = k
+        self.length = length
+
+    @staticmethod
+    def from_sequence(
+        sequence: bytes, k: int = DEFAULT_KMER_SIZE, sketch_size: int = DEFAULT_SKETCH_SIZE
+    ) -> "KmerSketch":
+        return KmerSketch(sketch_canonical(sequence, k, sketch_size), k, len(sequence))
+
+    def jaccard(self, other: "KmerSketch") -> float:
+        if self.k != other.k:
+            return 0.0
+        return jaccard(self.minimizers, other.minimizers)
+
+    def mash_distance(self, other: "KmerSketch") -> float:
+        return mash_distance_from_jaccard(self.jaccard(other), self.k)
+
+
+def compute_distance_matrix_with_params(
+    sequences: PySequence[Sequence],
+    k: int = DEFAULT_KMER_SIZE,
+    sketch_size: int = DEFAULT_SKETCH_SIZE,
+) -> np.ndarray:
+    """All-vs-all symmetric mash distance matrix
+    (reference: mash.rs:141-165)."""
+    n = len(sequences)
+    sketches: List[np.ndarray] = [
+        np.unique(sketch_canonical(s.seq, k, sketch_size)) for s in sequences
+    ]
+    matrix = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        si = sketches[i]
+        for j in range(i + 1, n):
+            sj = sketches[j]
+            inter = np.intersect1d(si, sj, assume_unique=True).size
+            union = si.size + sj.size - inter
+            jac = inter / union if union > 0 else 0.0
+            d = mash_distance_from_jaccard(jac, k)
+            matrix[i, j] = d
+            matrix[j, i] = d
+    return matrix
+
+
+def compute_distance_matrix(sequences: PySequence[Sequence]) -> np.ndarray:
+    return compute_distance_matrix_with_params(
+        sequences, DEFAULT_KMER_SIZE, DEFAULT_SKETCH_SIZE
+    )
+
+
+def format_distance_matrix(
+    sequences: PySequence[Sequence], matrix: np.ndarray
+) -> str:
+    """TSV rendering (reference: mash.rs:168-184)."""
+    lines = ["sequence" + "".join(f"\t{s.id}" for s in sequences)]
+    for i, s in enumerate(sequences):
+        row = "".join(f"\t{matrix[i, j]:.6f}" for j in range(len(sequences)))
+        lines.append(f"{s.id}{row}")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,18 @@
+"""Test configuration.
+
+Unit tests run on the CPU backend with 8 virtual devices so that sharding
+/ multi-chip code paths are exercised without TPU hardware. These env vars
+must be set before JAX is first imported, which is why they live here.
+
+Set ALLWAVE_TEST_TPU=1 to let tests use the real configured platform.
+"""
+
+import os
+
+if not os.environ.get("ALLWAVE_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()

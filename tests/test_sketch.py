@@ -1,0 +1,115 @@
+"""MinHash sketching / mash distance tests (reference: mash.rs:186-260)."""
+
+import math
+
+import numpy as np
+
+from allwave_tpu.core.types import Sequence
+from allwave_tpu.sketch.minhash import (
+    KmerSketch,
+    compute_distance_matrix,
+    compute_distance_matrix_with_params,
+    format_distance_matrix,
+    jaccard,
+    mash_distance_from_jaccard,
+    sketch_canonical,
+    sketch_stranded,
+)
+
+
+def test_kmer_sketch_basic():
+    sketch = KmerSketch.from_sequence(b"ATCGATCGATCG", k=4, sketch_size=10)
+    assert sketch.minimizers.size > 0
+    assert sketch.k == 4
+    assert sketch.length == 12
+
+
+def test_jaccard_identical():
+    s1 = KmerSketch.from_sequence(b"ATCGATCGATCG", 4, 10)
+    s2 = KmerSketch.from_sequence(b"ATCGATCGATCG", 4, 10)
+    assert abs(s1.jaccard(s2) - 1.0) < 1e-10
+
+
+def test_mash_distance_identical():
+    s1 = KmerSketch.from_sequence(b"ATCGATCGATCG", 4, 10)
+    s2 = KmerSketch.from_sequence(b"ATCGATCGATCG", 4, 10)
+    assert s1.mash_distance(s2) < 1e-10
+
+
+def test_jaccard_mismatched_k():
+    s1 = KmerSketch.from_sequence(b"ATCGATCGATCG", 4, 10)
+    s2 = KmerSketch.from_sequence(b"ATCGATCGATCG", 5, 10)
+    assert s1.jaccard(s2) == 0.0
+
+
+def test_distance_matrix():
+    seqs = [
+        Sequence("seq1", b"ATCGATCGATCGATCG"),
+        Sequence("seq2", b"ATCGATCGATCGATCG"),
+        Sequence("seq3", b"GGGGGGGGGGGGGGGG"),
+    ]
+    m = compute_distance_matrix(seqs)
+    assert m.shape == (3, 3)
+    assert m[0, 0] < 1e-6 and m[1, 1] < 1e-6
+    assert m[0, 1] < 1e-6 and m[1, 0] < 1e-6
+    assert m[0, 2] > 0.0 and m[2, 0] > 0.0
+
+
+def test_canonical_strand_invariance():
+    # canonical sketch of a sequence == canonical sketch of its revcomp
+    rng = np.random.RandomState(3)
+    seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=300).tobytes()
+    comp = {65: 84, 84: 65, 67: 71, 71: 67}
+    rc = bytes(comp[b] for b in reversed(seq))
+    s1 = sketch_canonical(seq, 15, 100)
+    s2 = sketch_canonical(rc, 15, 100)
+    assert np.array_equal(s1, s2)
+
+
+def test_stranded_is_strand_specific():
+    rng = np.random.RandomState(4)
+    seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=300).tobytes()
+    comp = {65: 84, 84: 65, 67: 71, 71: 67}
+    rc = bytes(comp[b] for b in reversed(seq))
+    s1 = sketch_stranded(seq, 15, 100)
+    s2 = sketch_stranded(rc, 15, 100)
+    assert not np.array_equal(s1, s2)
+
+
+def test_non_acgt_kmers_skipped():
+    # 'N' windows are dropped entirely
+    seq = b"ACGTNACGT"
+    s = sketch_stranded(seq, 4, 100)
+    # valid windows: ACGT (pos 0) and ACGT (pos 5) — identical hash, kept twice
+    assert s.size == 2
+    assert s[0] == s[1]
+
+
+def test_short_sequence_empty_sketch():
+    assert sketch_stranded(b"ACG", 15, 100).size == 0
+    assert sketch_canonical(b"ACG", 15, 100).size == 0
+
+
+def test_case_sensitivity_of_hash_but_not_validity():
+    # lowercase bases are valid DNA but hash differently (raw bytes hashed)
+    upper = sketch_stranded(b"ACGTACGTACGTACGT", 8, 100)
+    lower = sketch_stranded(b"acgtacgtacgtacgt", 8, 100)
+    assert upper.size == lower.size > 0
+    assert not np.array_equal(upper, lower)
+
+
+def test_mash_distance_formula():
+    k = 15
+    j = 0.5
+    d = mash_distance_from_jaccard(j, k)
+    assert abs(d - (-(1.0 / k) * math.log(2 * j / (1 + j)))) < 1e-12
+    assert mash_distance_from_jaccard(0.0, k) == 1.0
+
+
+def test_format_distance_matrix():
+    seqs = [Sequence("a", b"ACGTACGTACGTACGTAC"), Sequence("b", b"ACGTACGTACGTACGTAC")]
+    m = compute_distance_matrix_with_params(seqs, 4, 10)
+    text = format_distance_matrix(seqs, m)
+    lines = text.strip().split("\n")
+    assert lines[0] == "sequence\ta\tb"
+    assert lines[1].startswith("a\t0.000000\t")
