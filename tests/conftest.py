@@ -10,9 +10,16 @@ Set ALLWAVE_TEST_TPU=1 to let tests use the real configured platform.
 import os
 
 if not os.environ.get("ALLWAVE_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # NOTE: this environment preloads an `axon` TPU plugin via a
+    # sitecustomize hook that force-sets jax_platforms="axon,cpu", so the
+    # JAX_PLATFORMS env var alone is NOT enough — override the config
+    # after import as well.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
