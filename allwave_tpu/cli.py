@@ -1,0 +1,219 @@
+"""Command-line interface — flag-for-flag compatible with the reference
+(/root/reference/src/main.rs:30-80), including default values, stderr
+messages, and the PAF/progress output contracts.
+
+Usage: python -m allwave_tpu.cli -i input.fa [-o out.paf] [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .core.scores import parse_ani_preset, parse_scores
+from .core.paf import alignment_to_paf
+from .engine.fasta import read_fasta
+from .engine.pipeline import AllPairAligner
+from .engine.progress import ProgressTracker
+from .sparsify.pairs import parse_sparsification
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="allwave-tpu",
+        description="TPU-native all-pairs pairwise sequence aligner "
+        "(PAF output with full CIGARs)",
+    )
+    p.add_argument("-i", "--input", required=True, help="Input FASTA file")
+    p.add_argument("-o", "--output", default=None, help="Output PAF file (default: stdout)")
+    p.add_argument(
+        "-s",
+        "--scores",
+        default=None,
+        help="Alignment scores: match,mismatch,gap_open,gap_ext[,gap_open2,gap_ext2] "
+        "(default 0,5,8,2,24,1)",
+    )
+    p.add_argument(
+        "-x",
+        "--preset",
+        default=None,
+        help="Preset alignment parameters for different ANI levels "
+        "(e.g. -x 95%% or -x 0.95); conflicts with --scores",
+    )
+    p.add_argument(
+        "-t",
+        "--threads",
+        type=int,
+        default=1,
+        help="Host worker threads (device batching is independent of this)",
+    )
+    p.add_argument(
+        "-p",
+        "--sparsification",
+        default="giant:0.99",
+        help="none | auto | random:<frac> | giant:<prob> | "
+        "tree:<near>:<far>:<random>[:<kmer>]",
+    )
+    p.add_argument("--no-progress", action="store_true", help="Disable progress output")
+    p.add_argument(
+        "--mash-matrix",
+        action="store_true",
+        help="Output mash distance matrix and exit",
+    )
+    p.add_argument(
+        "--wfa-orientation",
+        action="store_true",
+        help="Use WFA edit distance for orientation detection instead of mash",
+    )
+    p.add_argument(
+        "-k",
+        "--keep-prefixes",
+        default=None,
+        help="Keep only sequences whose IDs start with any of these prefixes "
+        "(comma-separated)",
+    )
+    p.add_argument(
+        "-e",
+        "--exclude-prefixes",
+        default=None,
+        help="Exclude sequences whose IDs start with any of these prefixes "
+        "(comma-separated)",
+    )
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+
+    if args.scores is not None and args.preset is not None:
+        print(
+            "Error: the argument '--scores' cannot be used with '--preset'",
+            file=sys.stderr,
+        )
+        return 2
+    if args.keep_prefixes is not None and args.exclude_prefixes is not None:
+        print(
+            "Error: the argument '--keep-prefixes' cannot be used with "
+            "'--exclude-prefixes'",
+            file=sys.stderr,
+        )
+        return 2
+
+    try:
+        sparsification = parse_sparsification(args.sparsification)
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    try:
+        sequences = read_fasta(args.input)
+    except OSError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    # prefix filtering (reference: main.rs:237-278, stderr messages are
+    # part of the behavioral contract)
+    if args.keep_prefixes is not None:
+        prefixes = [s.strip() for s in args.keep_prefixes.split(",")]
+        original = len(sequences)
+        sequences = [
+            s for s in sequences if any(s.id.startswith(p) for p in prefixes)
+        ]
+        if len(sequences) != original:
+            print(
+                f"Kept sequences with prefixes: {original} -> {len(sequences)} "
+                f"(prefixes: {args.keep_prefixes})",
+                file=sys.stderr,
+            )
+        if not sequences:
+            print(
+                "Error: No sequences match the specified keep prefixes",
+                file=sys.stderr,
+            )
+            return 1
+
+    if args.exclude_prefixes is not None:
+        prefixes = [s.strip() for s in args.exclude_prefixes.split(",")]
+        original = len(sequences)
+        sequences = [
+            s for s in sequences if not any(s.id.startswith(p) for p in prefixes)
+        ]
+        if len(sequences) != original:
+            print(
+                f"Excluded sequences with prefixes: {original} -> {len(sequences)} "
+                f"(prefixes: {args.exclude_prefixes})",
+                file=sys.stderr,
+            )
+        if not sequences:
+            print(
+                "Error: All sequences were excluded by the specified prefixes",
+                file=sys.stderr,
+            )
+            return 1
+
+    if args.mash_matrix:
+        from .core.types import TreeSampling
+        from .sketch.minhash import (
+            compute_distance_matrix_with_params,
+            format_distance_matrix,
+        )
+
+        kmer_size = (
+            sparsification.kmer_size
+            if isinstance(sparsification, TreeSampling)
+            and sparsification.kmer_size is not None
+            else 15
+        )
+        matrix = compute_distance_matrix_with_params(sequences, kmer_size, 1000)
+        sys.stdout.write(format_distance_matrix(sequences, matrix))
+        return 0
+
+    if args.preset is not None:
+        try:
+            scores_str = parse_ani_preset(args.preset)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        print(
+            f"Using ANI preset {args.preset} -> alignment scores: {scores_str}",
+            file=sys.stderr,
+        )
+    else:
+        scores_str = args.scores if args.scores is not None else "0,5,8,2,24,1"
+
+    try:
+        params = parse_scores(scores_str)
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+    aligner = AllPairAligner(
+        sequences,
+        params,
+        exclude_self=True,
+        use_mash_orientation=not args.wfa_orientation,
+        sparsification=sparsification,
+    )
+    total = aligner.pair_count()
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    interactive = args.output is None and sys.stderr.isatty()
+    progress = ProgressTracker(
+        total, enabled=not args.no_progress, interactive=interactive
+    )
+    try:
+        def cb(result):
+            out.write(alignment_to_paf(result, sequences) + "\n")
+            progress.update()
+
+        aligner.for_each_with_callback(cb)
+        progress.finish()
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,196 @@
+"""End-to-end streaming pipeline.
+
+sequences -> pair selection (sparsify) -> orientation (mash | WFA) ->
+batched device alignment -> AlignmentResult callbacks -> PAF.
+
+This is the TPU-native replacement for the reference's per-pair rayon
+fan-out (iterator.rs:208-252): the unit of work is a batch of pairs
+aligned in one device program. Results stream to the callback chunk by
+chunk, preserving the reference's streaming contract (records appear as
+they complete; order is unspecified, as at t>1 in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence as PySequence, Tuple
+
+import numpy as np
+
+from ..core.cigar import count_cigar_operations, parse_cigar_lengths
+from ..core.types import (
+    AlignmentParams,
+    AlignmentResult,
+    Sequence,
+    SparsificationStrategy,
+)
+from ..orient.orientation import OrientationIndex
+from ..sparsify.pairs import build_pairs
+from ..wfa.engine import BatchWavefrontAligner, EngineConfig
+from ..wfa.params import resolve_penalties
+
+#: pairs per streaming chunk fed to the batch engine
+DEFAULT_CHUNK = 4096
+
+
+def _result_from_cigar(
+    i: int, j: int, is_rev: bool, score: int, cigar: np.ndarray
+) -> AlignmentResult:
+    num_matches, alignment_length = count_cigar_operations(cigar)
+    query_end, target_end = parse_cigar_lengths(cigar)
+    return AlignmentResult(
+        query_idx=i,
+        target_idx=j,
+        query_start=0,
+        query_end=query_end,
+        target_start=0,
+        target_end=target_end,
+        is_reverse=is_rev,
+        cigar_bytes=cigar,
+        score=score,
+        num_matches=num_matches,
+        alignment_length=alignment_length,
+    )
+
+
+class AllPairAligner:
+    """Batched equivalent of the reference's AllPairIterator
+    (iterator.rs:12-149)."""
+
+    def __init__(
+        self,
+        sequences: PySequence[Sequence],
+        params: AlignmentParams,
+        exclude_self: bool = True,
+        use_mash_orientation: bool = False,
+        sparsification: SparsificationStrategy = None,
+        orientation_params: Optional[AlignmentParams] = None,
+        engine_config: Optional[EngineConfig] = None,
+        chunk_size: int = DEFAULT_CHUNK,
+    ):
+        from ..core.types import NoSparsification
+
+        self.sequences = sequences
+        self.params = params
+        self.use_mash_orientation = use_mash_orientation
+        self.sparsification = (
+            sparsification if sparsification is not None else NoSparsification()
+        )
+        self.orientation_params = (
+            orientation_params
+            if orientation_params is not None
+            else AlignmentParams.edit_distance()
+        )
+        self.chunk_size = chunk_size
+        self.engine_config = engine_config
+        self.pairs = build_pairs(sequences, self.sparsification, exclude_self)
+        self._orient = OrientationIndex(sequences)
+
+    def pair_count(self) -> int:
+        return int(self.pairs.shape[0])
+
+    def get_pairs(self) -> np.ndarray:
+        return self.pairs
+
+    # -- orientation -------------------------------------------------------
+
+    def _orient_chunk(
+        self, chunk: np.ndarray
+    ) -> Tuple[List[bytes], List[bytes], List[bool]]:
+        """Oriented query bytes / target bytes / is_reverse per pair."""
+        qs: List[bytes] = []
+        ts: List[bytes] = []
+        revs: List[bool] = []
+        if self.use_mash_orientation:
+            for i, j in chunk:
+                q, is_rev = self._orient.oriented_query(int(i), int(j))
+                qs.append(q)
+                ts.append(self.sequences[int(j)].seq)
+                revs.append(is_rev)
+        else:
+            revs = self._orient_wfa(chunk)
+            for (i, j), is_rev in zip(chunk, revs):
+                q = (
+                    self._orient.rc(int(i))
+                    if is_rev
+                    else self.sequences[int(i)].seq
+                )
+                qs.append(q)
+                ts.append(self.sequences[int(j)].seq)
+        return qs, ts, revs
+
+    def _orient_wfa(self, chunk: np.ndarray) -> List[bool]:
+        """WFA-edit-distance orientation (reference: alignment.rs:157-175):
+        align both orientations globally with the orientation params and
+        compare X+I+D op counts; ties go forward."""
+        pen = resolve_penalties(self.orientation_params)
+        eng = BatchWavefrontAligner(pen, self.engine_config)
+        fwd_pairs = []
+        rev_pairs = []
+        for i, j in chunk:
+            fwd_pairs.append(
+                (self.sequences[int(i)].seq, self.sequences[int(j)].seq)
+            )
+            rev_pairs.append((self._orient.rc(int(i)), self.sequences[int(j)].seq))
+        fwd = eng.align_pairs(fwd_pairs)
+        rev = eng.align_pairs(rev_pairs)
+        out = []
+        for f, r in zip(fwd, rev):
+            fd = int(np.count_nonzero(f[1] != ord("M"))) if f is not None else 2**62
+            rd = int(np.count_nonzero(r[1] != ord("M"))) if r is not None else 2**62
+            out.append(not (fd <= rd))
+        return out
+
+    # -- main loop ----------------------------------------------------------
+
+    def for_each_with_callback(
+        self, callback: Callable[[AlignmentResult], None]
+    ) -> None:
+        pen = resolve_penalties(self.params)
+        eng = BatchWavefrontAligner(pen, self.engine_config)
+        pairs = self.pairs
+        for lo in range(0, pairs.shape[0], self.chunk_size):
+            chunk = pairs[lo : lo + self.chunk_size]
+            qs, ts, revs = self._orient_chunk(chunk)
+            aligned = eng.align_pairs(list(zip(qs, ts)))
+            for (i, j), is_rev, res in zip(chunk, revs, aligned):
+                if res is None:
+                    result = AlignmentResult.failed(int(i), int(j), is_rev)
+                else:
+                    score, cigar = res
+                    result = _result_from_cigar(int(i), int(j), is_rev, score, cigar)
+                callback(result)
+
+    def __iter__(self):
+        """Sequential pull-based iteration (reference: iterator.rs:151-171).
+        Still batched under the hood, chunk by chunk."""
+        results: List[AlignmentResult] = []
+        pen = resolve_penalties(self.params)
+        eng = BatchWavefrontAligner(pen, self.engine_config)
+        pairs = self.pairs
+        for lo in range(0, pairs.shape[0], self.chunk_size):
+            chunk = pairs[lo : lo + self.chunk_size]
+            qs, ts, revs = self._orient_chunk(chunk)
+            aligned = eng.align_pairs(list(zip(qs, ts)))
+            for (i, j), is_rev, res in zip(chunk, revs, aligned):
+                if res is None:
+                    yield AlignmentResult.failed(int(i), int(j), is_rev)
+                else:
+                    score, cigar = res
+                    yield _result_from_cigar(int(i), int(j), is_rev, score, cigar)
+
+
+def process_alignments_with_callback(
+    sequences: PySequence[Sequence],
+    params: AlignmentParams,
+    sparsification: SparsificationStrategy,
+    callback: Callable[[AlignmentResult], None],
+) -> None:
+    """Reference: lib.rs:57-68 — exclude_self=True, mash orientation."""
+    aligner = AllPairAligner(
+        sequences,
+        params,
+        exclude_self=True,
+        use_mash_orientation=True,
+        sparsification=sparsification,
+    )
+    aligner.for_each_with_callback(callback)

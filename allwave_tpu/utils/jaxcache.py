@@ -13,11 +13,21 @@ _enabled = False
 
 
 def enable_compilation_cache() -> None:
+    """Also honors ALLWAVE_PLATFORM=cpu|axon|tpu to force a backend —
+    needed because this environment's sitecustomize force-registers the
+    axon TPU plugin and overrides jax_platforms."""
     global _enabled
     if _enabled:
         return
     _enabled = True
     import jax
+
+    platform = os.environ.get("ALLWAVE_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
 
     cache_dir = os.environ.get(
         "ALLWAVE_CACHE_DIR",

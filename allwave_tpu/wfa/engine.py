@@ -102,17 +102,19 @@ class BatchWavefrontAligner:
     # -- pass 1: score discovery ------------------------------------------
 
     def discover_scores(self, pairs: List[Tuple[bytes, bytes]]) -> np.ndarray:
-        """Exact score per pair (int64 array)."""
+        """Exact score per pair (int64 array; -1 = exceeded s_cap_max).
+
+        Pairs that exceed s_cap_max are reported as failures (-1); the
+        pipeline turns them into the reference's zeroed PAF records
+        (reference: alignment.rs:49-64).
+        """
         n = len(pairs)
         scores = np.full(n, -1, dtype=np.int64)
         pending = list(range(n))
         s_cap = self.config.s_cap_initial
         while pending:
             if s_cap > self.config.s_cap_max:
-                raise RuntimeError(
-                    f"pairs exceed s_cap_max={self.config.s_cap_max}: "
-                    f"{len(pending)} unfinished (biWFA tier not yet engaged)"
-                )
+                break  # remaining pairs stay at -1 (failed)
             K = 2 * s_cap + 1
             chunk = max(1, self.config.prepass_lane_budget // K)
             still = []
@@ -141,8 +143,9 @@ class BatchWavefrontAligner:
 
     def align_pairs(
         self, pairs: List[Tuple[bytes, bytes]]
-    ) -> List[Tuple[int, np.ndarray]]:
-        """Returns [(score, cigar_bytes uint8)] in input order."""
+    ) -> List[Optional[Tuple[int, np.ndarray]]]:
+        """Returns [(score, cigar_bytes uint8)] in input order; None for
+        pairs that failed (exceeded the score cap)."""
         import jax.numpy as jnp
 
         n = len(pairs)
@@ -153,6 +156,8 @@ class BatchWavefrontAligner:
         buckets: dict = {}
         for i in range(n):
             s = int(scores[i])
+            if s < 0:
+                continue  # failed pair -> None result
             cap = max(self.config.s_cap_initial, 1 << (max(s, 1) - 1).bit_length())
             buckets.setdefault(cap, []).append(i)
 
@@ -182,9 +187,8 @@ class BatchWavefrontAligner:
                 sc = np.asarray(sc)
                 for j, i in enumerate(group):
                     if overflow[j] or sc[j] < 0:
-                        raise RuntimeError(
-                            f"traceback failed for pair {i} (overflow={bool(overflow[j])})"
-                        )
+                        results[i] = None  # failed -> zeroed PAF upstream
+                        continue
                     cigar = B_.expand_runs_to_cigar(ops[j], lens[j], int(nruns[j]))
                     results[i] = (int(sc[j]), cigar)
-        return results  # type: ignore[return-value]
+        return results
