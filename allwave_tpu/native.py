@@ -1,0 +1,145 @@
+"""ctypes loader for the native C++ components (csrc/).
+
+The shared library is built on demand with `make -C csrc` the first time
+it is needed. Every native entry point has a pure-NumPy fallback, so the
+framework works (slower) even without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC = os.path.join(_REPO, "csrc")
+_LIB_PATH = os.path.join(_CSRC, "liballwave_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC],
+            capture_output=True,
+            check=True,
+            timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it if necessary; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH):
+            srcs = [
+                os.path.join(_CSRC, "wfa_oracle.cpp"),
+                os.path.join(_CSRC, "siphash13.cpp"),
+            ]
+            if not all(os.path.exists(s) for s in srcs) or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        lib.siphash13_raw.restype = ctypes.c_uint64
+        lib.siphash13_raw.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.siphash13_kmers.restype = None
+        lib.siphash13_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.wfa_align_single.restype = ctypes.c_int
+        lib.wfa_align_single.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def hash_kmers_native(seq: np.ndarray, k: int) -> Optional[np.ndarray]:
+    """Native batch k-mer hashing; None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = seq.size - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    lib.siphash13_kmers(
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(seq.size),
+        ctypes.c_int32(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
+
+
+def wfa_align_native(
+    query: bytes, target: bytes, pen, s_cap: int = 1 << 20
+) -> Optional[Tuple[int, np.ndarray]]:
+    """Native exact WFA; returns (score, cigar_bytes) or None if the
+    library is unavailable. Raises RuntimeError if s_cap was exceeded."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.frombuffer(query, dtype=np.uint8)
+    t = np.frombuffer(target, dtype=np.uint8)
+    cap = q.size + t.size + 16
+    cigar = np.empty(cap, dtype=np.uint8)
+    clen = ctypes.c_int64(0)
+    score = lib.wfa_align_single(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(q.size),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int32(t.size),
+        ctypes.c_int32(pen.x),
+        ctypes.c_int32(pen.o1),
+        ctypes.c_int32(pen.e1),
+        ctypes.c_int32(pen.o2),
+        ctypes.c_int32(pen.e2),
+        ctypes.c_int32(1 if pen.two_piece else 0),
+        ctypes.c_int32(s_cap),
+        cigar.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap),
+        ctypes.byref(clen),
+    )
+    if score == -1:
+        raise RuntimeError(f"native WFA exceeded s_cap={s_cap}")
+    if score < 0:
+        raise RuntimeError(f"native WFA error {score}")
+    return int(score), cigar[: clen.value].copy()

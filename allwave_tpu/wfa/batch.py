@@ -77,17 +77,22 @@ def _extend(h, k, h_max, q4, t4):
 
     q4/t4: (B, Lq)/(B, Lt) uint32 quad-packed sequences (padded so that
     reads at any clipped index are safe; h_max clamps semantics).
+
+    SAFETY: the loop carries an iteration bound (ceil(L/4)+2) so a logic
+    bug can never hang the (shared, tunneled) TPU — a runaway while_loop
+    wedges the whole chip.
     """
     B, K = h.shape
     lq = q4.shape[1]
     lt = t4.shape[1]
+    max_iters = min(lq, lt) // 4 + 2
 
     def cond(state):
-        _, cont = state
-        return jnp.any(cont)
+        _, cont, it = state
+        return jnp.any(cont) & (it < max_iters)
 
     def body(state):
-        h, cont = state
+        h, cont, it = state
         v = h - k
         sv = jnp.clip(v, 0, lq - 1)
         sh = jnp.clip(h, 0, lt - 1)
@@ -105,10 +110,10 @@ def _extend(h, k, h_max, q4, t4):
         step = jnp.where(cont & (step > 0), step, 0)
         h2 = h + step
         cont2 = cont & (n >= 4) & (allowed > 4)
-        return h2, cont2
+        return h2, cont2, it + 1
 
     cont0 = (h > NULL) & (h < h_max)
-    h_out, _ = jax.lax.while_loop(cond, body, (h, cont0))
+    h_out, _, _ = jax.lax.while_loop(cond, body, (h, cont0, jnp.int32(0)))
     return h_out
 
 
@@ -344,12 +349,17 @@ def wavefront_traceback(
         nrun = nrun + do.astype(jnp.int32)
         return ops, lens, nrun
 
+    # SAFETY: hard iteration bound — each backtrace step either emits a
+    # run or transitions M->gap, so > 3*run_cap iterations means a logic
+    # bug; never risk hanging the chip.
+    max_iters = 3 * run_cap + 8
+
     def cond(carry):
-        (s, c, h, comp, active, ops, lens, nrun, overflow) = carry
-        return jnp.any(active)
+        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
+        return jnp.any(active) & (it < max_iters)
 
     def body(carry):
-        (s, c, h, comp, active, ops, lens, nrun, overflow) = carry
+        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
 
         is_m = comp == _C_M
         at_origin = is_m & (s == 0)
@@ -447,11 +457,13 @@ def wavefront_traceback(
         h = jnp.where(active, new_h, h)
         c = jnp.where(active, new_c, c)
         comp = jnp.where(active, new_comp, comp)
-        return (s, c, h, comp, active, ops, lens, nrun, overflow)
+        return (s, c, h, comp, active, ops, lens, nrun, overflow, it + 1)
 
-    carry = (s0, c0, h0, comp0, active0, ops0, lens0, nrun0, overflow0)
+    carry = (s0, c0, h0, comp0, active0, ops0, lens0, nrun0, overflow0, jnp.int32(0))
     carry = jax.lax.while_loop(cond, body, carry)
-    (_, _, _, _, _, ops, lens, nrun, overflow) = carry
+    (_, _, _, _, active, ops, lens, nrun, overflow, _) = carry
+    # lanes still active at the bound hit a logic bug: flag as overflow
+    overflow = overflow | active
     return ops, lens, nrun, overflow
 
 
