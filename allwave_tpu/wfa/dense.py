@@ -1,0 +1,361 @@
+"""Dense banded anti-diagonal alignment engine (gather-free).
+
+The second device engine, complementary to batch.py's wavefront engine:
+a classic Gotoh DP swept over ANTI-diagonals in diagonal coordinates.
+Why it is TPU-native:
+
+* zero per-lane gathers and zero data-dependent inner loops — each step
+  is a handful of shifted elementwise min/add ops on a (B, K) band,
+  swept by one `lax.scan` of static length;
+* the substitution bases ride along as SHIFT REGISTERS: as d advances,
+  q[v-1] along the band is exactly the previous step's register shifted
+  by one lane (one scalar insert per pair per step), same for t[h-1] in
+  the other direction — no addressing at all in the hot loop;
+* choice bits for the traceback stream out as scan outputs (one uint8
+  plane per step), so the backtrace is O(1) lookups per step.
+
+Cost is L*K/2 cells instead of the wavefront's ~s*K/2, so this engine
+wins for short-to-medium sequences and the wavefront engine wins for
+long, low-divergence pairs. The scheduler picks per bucket.
+
+Band correctness: with band half-width slack W beyond the [0, k_end]
+hull, any alignment leaving the band must contain net indels of more
+than W diagonals, costing more than min_piece(o + e*(W+1)). If the
+banded score sigma < that bound, the result is provably the unbanded
+optimum; otherwise the caller escalates K (same escalation frame as the
+wavefront engine).
+
+Parity bookkeeping: on anti-diagonal d only lanes with (d - k) even hold
+cells. Inactive lanes carry their previous values, which by parity are
+exactly the d-2 values the next step's diagonal term needs — so a single
+S array serves as both S_{d-1} (for gap terms, read at k-+1) and S_{d-2}
+(for the diagonal term, read at k).
+
+Tie-break policy (documented contract, mirrors reference_impl.TIEBREAK_*
+in spirit): S-state prefers diagonal (match/mismatch) over gap closes,
+gap closes in order I1, I2, D1, D2; gap states prefer extend over open.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Penalties
+
+INF = jnp.int32(2**29)
+
+# choice-plane encoding
+# bits 0-2: S source: 0=diag-match, 1=diag-mismatch, 2=I1, 3=I2, 4=D1, 5=D2
+# bit 3: I1 extend (vs open); bit 4: D1; bit 5: I2; bit 6: D2
+S_DIAG_MATCH = 0
+S_DIAG_MISMATCH = 1
+S_I1 = 2
+S_I2 = 3
+S_D1 = 4
+S_D2 = 5
+
+
+def _shift_up(a, fill):  # out[..., c] = a[..., c+1]
+    return jnp.concatenate(
+        [a[..., 1:], jnp.full(a.shape[:-1] + (1,), fill, a.dtype)], -1
+    )
+
+
+def _shift_down(a, fill):  # out[..., c] = a[..., c-1]
+    return jnp.concatenate(
+        [jnp.full(a.shape[:-1] + (1,), fill, a.dtype), a[..., :-1]], -1
+    )
+
+
+def _band_geometry(qlens, tlens, K):
+    k_end = tlens - qlens
+    slack = (K - 1 - jnp.abs(k_end)) // 2
+    k0 = jnp.minimum(0, k_end) - slack
+    return k_end, k0, slack
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pen", "k_width", "l_pad", "with_choices")
+)
+def dense_forward(
+    qs: jnp.ndarray,
+    ts: jnp.ndarray,
+    qlens: jnp.ndarray,
+    tlens: jnp.ndarray,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    with_choices: bool = False,
+):
+    """Banded Gotoh sweep over anti-diagonals d = 1 .. 2*l_pad.
+
+    qs/ts: (B, l_pad) uint8. Returns (scores (B,) int32 — >= INF if the
+    end cell is unreachable within the band, certificate (B,) bool —
+    True iff the banded result is provably the global optimum, choices
+    (2*l_pad, B, K) uint8 or None).
+    """
+    B = qs.shape[0]
+    K = k_width
+
+    k_end, k0, slack = _band_geometry(qlens, tlens, K)
+    ks = k0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # (B, K)
+
+    # reversed query (one-time): rq[i] = q[qlen-1-i]
+    idx = jnp.arange(l_pad, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(qlens[:, None] - 1 - idx, 0, l_pad - 1)
+    rq = jnp.take_along_axis(qs, rev_idx, axis=1)
+
+    # base shift registers at d=0 (formula shared with the per-step
+    # inserts so floor-shift semantics agree lane-for-lane):
+    #   qb_d[k] = rq[qlen - ((d - k) >> 1)], tb_d[k] = t[((d + k) >> 1) - 1]
+    qi0 = jnp.clip(qlens[:, None] - ((0 - ks) >> 1), 0, l_pad - 1)
+    ti0 = jnp.clip(((0 + ks) >> 1) - 1, 0, l_pad - 1)
+    qb = jnp.take_along_axis(rq, qi0, axis=1)
+    tb = jnp.take_along_axis(ts, ti0, axis=1)
+
+    s0 = jnp.where(ks == 0, 0, INF).astype(jnp.int32)
+    gap0 = jnp.full((B, K), INF, jnp.int32)
+
+    o1e1 = jnp.int32(pen.o1 + pen.e1)
+    e1 = jnp.int32(pen.e1)
+    o2e2 = jnp.int32(pen.o2 + pen.e2) if pen.two_piece else jnp.int32(0)
+    e2 = jnp.int32(pen.e2) if pen.two_piece else jnp.int32(0)
+    x = jnp.int32(pen.x)
+    k0_col = k0  # (B,)
+
+    def step(carry, d):
+        s_prev, i1, d1, i2, d2, qb, tb = carry
+
+        # advance base shift registers
+        qi_head = jnp.clip(qlens - ((d - k0_col) >> 1), 0, l_pad - 1)
+        q_head = jnp.take_along_axis(rq, qi_head[:, None], axis=1)
+        qb = jnp.concatenate([q_head, qb[:, :-1]], axis=1)
+        ti_tail = jnp.clip(((d + k0_col + (K - 1)) >> 1) - 1, 0, l_pad - 1)
+        t_tail = jnp.take_along_axis(ts, ti_tail[:, None], axis=1)
+        tb = jnp.concatenate([tb[:, 1:], t_tail], axis=1)
+
+        v = (d - ks) >> 1
+        h = (d + ks) >> 1
+        parity_ok = ((d - ks) & 1) == 0
+        in_matrix = (v >= 0) & (v <= qlens[:, None]) & (h >= 0) & (h <= tlens[:, None])
+        active = parity_ok & in_matrix
+
+        # gap states read S_{d-1} / gaps_{d-1} at k-+1
+        s_km1 = _shift_down(s_prev, INF)
+        s_kp1 = _shift_up(s_prev, INF)
+        i1_ext_v = _shift_down(i1, INF) + e1
+        i1_opn_v = s_km1 + o1e1
+        i1_new = jnp.minimum(i1_opn_v, i1_ext_v)
+        i1_ext = i1_ext_v <= i1_opn_v  # tie -> extend
+        d1_ext_v = _shift_up(d1, INF) + e1
+        d1_opn_v = s_kp1 + o1e1
+        d1_new = jnp.minimum(d1_opn_v, d1_ext_v)
+        d1_ext = d1_ext_v <= d1_opn_v
+        best_gap = jnp.minimum(i1_new, d1_new)
+        if pen.two_piece:
+            i2_ext_v = _shift_down(i2, INF) + e2
+            i2_opn_v = s_km1 + o2e2
+            i2_new = jnp.minimum(i2_opn_v, i2_ext_v)
+            i2_ext = i2_ext_v <= i2_opn_v
+            d2_ext_v = _shift_up(d2, INF) + e2
+            d2_opn_v = s_kp1 + o2e2
+            d2_new = jnp.minimum(d2_opn_v, d2_ext_v)
+            d2_ext = d2_ext_v <= d2_opn_v
+            best_gap = jnp.minimum(best_gap, jnp.minimum(i2_new, d2_new))
+        else:
+            i2_new, d2_new = i2, d2
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+
+        # diagonal term reads S_{d-2} at k — which is s_prev[k] by parity
+        is_match = qb == tb
+        sub_cost = jnp.where(is_match, 0, x)
+        diag_ok = (v > 0) & (h > 0)
+        diag = jnp.where(diag_ok, s_prev + sub_cost, INF)
+
+        s_new = jnp.minimum(diag, best_gap)
+
+        if with_choices:
+            # Preference order replicating the wavefront oracle's
+            # tie-break exactly (see reference_impl.TIEBREAK_M and the
+            # derivation in tests/test_dense.py): a gap close that ties S
+            # corresponds to a zero-length match pop in the wavefront
+            # backtrace, so diag-MATCH is the *last* resort while
+            # diag-MISMATCH (the X candidate) is checked first.
+            # Last write wins: build lowest -> highest priority.
+            diag_hit = (diag == s_new) & diag_ok
+            choice = jnp.full((B, K), S_DIAG_MATCH, jnp.uint8)
+            if pen.two_piece:
+                choice = jnp.where(d2_new == s_new, jnp.uint8(S_D2), choice)
+            choice = jnp.where(d1_new == s_new, jnp.uint8(S_D1), choice)
+            if pen.two_piece:
+                choice = jnp.where(i2_new == s_new, jnp.uint8(S_I2), choice)
+            choice = jnp.where(i1_new == s_new, jnp.uint8(S_I1), choice)
+            choice = jnp.where(
+                diag_hit & jnp.logical_not(is_match),
+                jnp.uint8(S_DIAG_MISMATCH),
+                choice,
+            )
+            packed = (
+                choice
+                | (i1_ext.astype(jnp.uint8) << 3)
+                | (d1_ext.astype(jnp.uint8) << 4)
+                | (i2_ext.astype(jnp.uint8) << 5)
+                | (d2_ext.astype(jnp.uint8) << 6)
+            )
+            y = packed
+        else:
+            y = jnp.zeros((B, 1), jnp.uint8)
+
+        clamp = lambda a: jnp.minimum(a, INF)
+        s_out = jnp.where(active, clamp(s_new), s_prev)
+        i1_out = jnp.where(active, clamp(i1_new), i1)
+        d1_out = jnp.where(active, clamp(d1_new), d1)
+        i2_out = jnp.where(active, clamp(i2_new), i2)
+        d2_out = jnp.where(active, clamp(d2_new), d2)
+
+        return (s_out, i1_out, d1_out, i2_out, d2_out, qb, tb), y
+
+    ds = jnp.arange(1, 2 * l_pad + 1, dtype=jnp.int32)
+    carry, choices = jax.lax.scan(
+        step, (s0, gap0, gap0, gap0, gap0, qb, tb), ds
+    )
+    s_final = carry[0]
+
+    c_end = jnp.clip(k_end - k0, 0, K - 1)
+    scores = jnp.take_along_axis(s_final, c_end[:, None], axis=1)[:, 0]
+    feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= 2 * l_pad)
+    scores = jnp.where(feasible, scores, INF)
+
+    # optimality certificate: sigma < min gap cost of leaving the band
+    w = jnp.maximum(slack, 0)
+    esc = pen.o1 + pen.e1 * (w + 1)
+    if pen.two_piece:
+        esc = jnp.minimum(esc, pen.o2 + pen.e2 * (w + 1))
+    certificate = (scores < esc) & feasible
+
+    return scores, certificate, (choices if with_choices else None)
+
+
+# --------------------------------------------------------------------------
+# Traceback from the choice planes
+# --------------------------------------------------------------------------
+
+_OP_M = ord("M")
+_OP_X = ord("X")
+_OP_I = ord("I")
+_OP_D = ord("D")
+
+
+@functools.partial(jax.jit, static_argnames=("pen", "run_cap"))
+def dense_traceback(
+    choices: jnp.ndarray,  # (2*l_pad, B, K) uint8 (plane for d = step+1)
+    scores: jnp.ndarray,
+    qlens: jnp.ndarray,
+    tlens: jnp.ndarray,
+    pen: Penalties,
+    run_cap: int,
+):
+    """Walk the choice planes from (plen, tlen) back to (0, 0), emitting
+    (op, 1) runs in reverse order (host merges; same output contract as
+    batch.wavefront_traceback). Bounded iterations — cannot hang."""
+    D2, B, K = choices.shape
+    k_end, k0, _ = _band_geometry(qlens, tlens, K)
+
+    def fetch(d, c):
+        d_ok = (d >= 1) & (d <= D2)
+        c_ok = (c >= 0) & (c < K)
+        dd = jnp.clip(d - 1, 0, D2 - 1)
+        cc = jnp.clip(c, 0, K - 1)
+        flat = (dd * B + jnp.arange(B, dtype=jnp.int32)) * K + cc
+        val = jnp.take(choices.reshape(-1), flat)
+        return jnp.where(d_ok & c_ok, val, jnp.uint8(0))
+
+    ops0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
+    lens0 = jnp.zeros((B, run_cap), dtype=jnp.int32)
+    nrun0 = jnp.zeros((B,), dtype=jnp.int32)
+
+    d0 = (qlens + tlens).astype(jnp.int32)
+    c0 = jnp.clip(k_end - k0, 0, K - 1).astype(jnp.int32)
+    comp0 = jnp.zeros((B,), jnp.int32)  # 0=S, 1=I1, 2=D1, 3=I2, 4=D2
+    active0 = (scores < INF) & (d0 > 0)
+    overflow0 = jnp.zeros((B,), jnp.bool_)
+
+    # each iteration either moves d back (gap/diag) or switches S->gap;
+    # d decreases at least every second iteration -> 2*D2 bound
+    max_iters = 2 * int(D2) + 8
+
+    def emit(ops, lens, nrun, do, op):
+        idx = jnp.clip(nrun, 0, run_cap - 1)
+        rows = jnp.arange(B)
+        ops = ops.at[rows, idx].set(jnp.where(do, op, ops[rows, idx]))
+        lens = lens.at[rows, idx].set(jnp.where(do, 1, lens[rows, idx]))
+        return ops, lens, nrun + do.astype(jnp.int32)
+
+    def cond(carry):
+        d, c, comp, active, ops, lens, nrun, overflow, it = carry
+        return jnp.any(active) & (it < max_iters)
+
+    def body(carry):
+        d, c, comp, active, ops, lens, nrun, overflow, it = carry
+        byte = fetch(d, c)
+        src = (byte & 7).astype(jnp.int32)
+
+        is_s = comp == 0
+        # S state: diagonal moves emit M/X and jump d-2; gap closes switch
+        # component without moving.
+        diag = is_s & ((src == S_DIAG_MATCH) | (src == S_DIAG_MISMATCH))
+        emit_m = active & diag & (src == S_DIAG_MATCH)
+        emit_x = active & diag & (src == S_DIAG_MISMATCH)
+        ops, lens, nrun = emit(ops, lens, nrun, emit_m, _OP_M)
+        ops, lens, nrun = emit(ops, lens, nrun, emit_x, _OP_X)
+
+        to_gap = jnp.where(
+            src == S_I1, 1, jnp.where(src == S_D1, 2, jnp.where(src == S_I2, 3, 4))
+        )
+        comp_s = jnp.where(diag, 0, to_gap)
+        d_s = jnp.where(diag, d - 2, d)
+        c_s = c
+
+        # gap states: emit the op, step to d-1, k-+1; extend bit decides
+        # whether to stay in the gap component.
+        is_i = (comp == 1) | (comp == 3)
+        is_d = (comp == 2) | (comp == 4)
+        ext_bit = jnp.where(
+            comp == 1,
+            (byte >> 3) & 1,
+            jnp.where(
+                comp == 2,
+                (byte >> 4) & 1,
+                jnp.where(comp == 3, (byte >> 5) & 1, (byte >> 6) & 1),
+            ),
+        ).astype(jnp.bool_)
+        ops, lens, nrun = emit(ops, lens, nrun, active & is_i, _OP_I)
+        ops, lens, nrun = emit(ops, lens, nrun, active & is_d, _OP_D)
+        comp_g = jnp.where(ext_bit, comp, 0)
+        d_g = d - 1
+        c_g = jnp.where(is_i, c - 1, c + 1)
+
+        new_d = jnp.where(is_s, d_s, d_g)
+        new_c = jnp.where(is_s, c_s, c_g)
+        new_comp = jnp.where(is_s, comp_s, comp_g)
+
+        overflow = overflow | (active & (nrun >= run_cap))
+        finished = active & (new_d <= 0)
+        active = active & (~finished) & (~overflow)
+
+        d = jnp.where(active, new_d, d)
+        c = jnp.where(active, new_c, c)
+        comp = jnp.where(active, new_comp, comp)
+        return (d, c, comp, active, ops, lens, nrun, overflow, it + 1)
+
+    carry = (d0, c0, comp0, active0, ops0, lens0, nrun0, overflow0, jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    (_, _, _, active, ops, lens, nrun, overflow, _) = carry
+    overflow = overflow | active
+    return ops, lens, nrun, overflow

@@ -1,0 +1,135 @@
+"""Dense banded engine vs the scalar oracle / dense DP: scores must match
+exactly; CIGARs must be valid and score-consistent; and (checked, not
+assumed) the dense tie-break should agree with the wavefront oracle's on
+typical inputs."""
+
+import numpy as np
+import pytest
+
+from allwave_tpu.core.cigar import validate_cigar
+from allwave_tpu.core.scores import parse_scores
+from allwave_tpu.testing.dense import cigar_score, dense_score
+from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig, UnifiedAligner
+from allwave_tpu.wfa.params import resolve_penalties
+from allwave_tpu.wfa.reference_impl import wfa_align
+
+EDIT = resolve_penalties(parse_scores("0,1,1,1"))
+AFFINE = resolve_penalties(parse_scores("0,5,8,2"))
+TWOPIECE = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+
+
+def _random_dna(rng, n):
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n).tobytes()
+
+
+def _mutate(rng, seq, n_snp=0, n_ins=0, n_del=0, max_indel=10):
+    s = bytearray(seq)
+    for _ in range(n_snp):
+        i = rng.randint(0, len(s))
+        s[i] = [b for b in b"ACGT" if b != s[i]][rng.randint(0, 3)]
+    for _ in range(n_ins):
+        i = rng.randint(0, len(s))
+        s[i:i] = _random_dna(rng, rng.randint(1, max_indel))
+    for _ in range(n_del):
+        if len(s) > 2 * max_indel:
+            i = rng.randint(0, len(s) - max_indel)
+            del s[i : i + rng.randint(1, max_indel)]
+    return bytes(s)
+
+
+def _suite(seed=0):
+    rng = np.random.RandomState(seed)
+    pairs = []
+    q = _random_dna(rng, 64)
+    pairs.append((q, q))  # identical
+    q = _random_dna(rng, 100)
+    pairs.append((q, _mutate(rng, q, n_snp=3)))
+    q = _random_dna(rng, 130)
+    pairs.append((q, _mutate(rng, q, n_ins=2, n_del=1)))
+    q = _random_dna(rng, 200)
+    pairs.append((q, _mutate(rng, q, n_snp=5, n_ins=2, n_del=2)))
+    pairs.append((_random_dna(rng, 30), _random_dna(rng, 37)))  # unrelated
+    q = _random_dna(rng, 90)
+    pairs.append((q, q[:40]))  # big length skew
+    pairs.append((b"", b"ACGTT"))
+    pairs.append((b"ACG", b""))
+    return pairs
+
+
+@pytest.mark.parametrize("pen", [EDIT, AFFINE, TWOPIECE], ids=["edit", "affine", "2p"])
+def test_dense_scores_and_validity(pen):
+    pairs = _suite()
+    eng = DenseBandAligner(pen)
+    got = eng.align_pairs(pairs)
+    for (q, t), res in zip(pairs, got):
+        assert res is not None, (q, t)
+        score, cigar = res
+        o_score, _ = wfa_align(q, t, pen)
+        assert score == o_score, (q, t)
+        validate_cigar(cigar, q, t)
+        assert cigar_score(cigar, pen) == score
+
+
+@pytest.mark.parametrize("pen", [EDIT, AFFINE, TWOPIECE], ids=["edit", "affine", "2p"])
+def test_dense_cigar_matches_wavefront_oracle(pen):
+    """The dense backtrace preference order (diag-mismatch > I1 > I2 >
+    D1 > D2 > diag-match; gap ext over open) provably replicates the
+    wavefront oracle's tie-break: a gap close that ties S at a cell
+    corresponds to a zero-length match pop in the wavefront backtrace
+    (the gap wavefront's offset reaches the stored offset), an X tie
+    corresponds to the mismatch candidate reaching it (impossible on
+    matching bases since extension would have passed them), and matches
+    are popped only when nothing else ties. Hence: byte equality."""
+    pairs = _suite(seed=3)
+    eng = DenseBandAligner(pen)
+    got = eng.align_pairs(pairs)
+    for (q, t), res in zip(pairs, got):
+        o_score, o_cigar = wfa_align(q, t, pen)
+        score, cigar = res
+        assert score == o_score
+        assert cigar.tobytes() == o_cigar.tobytes(), (q, t)
+
+
+def test_band_escalation():
+    # force a tiny initial band so escalation logic runs
+    rng = np.random.RandomState(4)
+    q = _random_dna(rng, 300)
+    t = _mutate(rng, q, n_snp=20, n_ins=4, n_del=4, max_indel=20)
+    pen = TWOPIECE
+    eng = DenseBandAligner(pen, DenseConfig(k_initial=8))
+    (res,) = eng.align_pairs([(q, t)])
+    assert res is not None
+    o_score, _ = wfa_align(q, t, pen)
+    assert res[0] == o_score
+    validate_cigar(res[1], q, t)
+
+
+def test_unified_router():
+    rng = np.random.RandomState(5)
+    short_q = _random_dna(rng, 100)
+    long_q = _random_dna(rng, 600)
+    pairs = [
+        (short_q, _mutate(rng, short_q, n_snp=2)),
+        (long_q, _mutate(rng, long_q, n_snp=6, n_ins=1)),
+    ]
+    eng = UnifiedAligner(TWOPIECE, dense_max_len=256)
+    got = eng.align_pairs(pairs)
+    for (q, t), res in zip(pairs, got):
+        assert res is not None
+        o_score, _ = wfa_align(q, t, TWOPIECE)
+        assert res[0] == o_score
+        validate_cigar(res[1], q, t)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_dense_random_vs_dense_dp(seed):
+    rng = np.random.RandomState(300 + seed)
+    q = _random_dna(rng, rng.randint(5, 80))
+    t = _random_dna(rng, rng.randint(5, 80))
+    for pen in (EDIT, TWOPIECE):
+        eng = DenseBandAligner(pen)
+        (res,) = eng.align_pairs([(q, t)])
+        assert res is not None
+        assert res[0] == dense_score(q, t, pen)
+        validate_cigar(res[1], q, t)
+        assert cigar_score(res[1], pen) == res[0]
