@@ -25,7 +25,8 @@ from ..core.types import (
 )
 from ..orient.orientation import OrientationIndex
 from ..sparsify.pairs import build_pairs
-from ..wfa.engine import BatchWavefrontAligner, EngineConfig
+from ..wfa.engine import EngineConfig
+from ..wfa.dense_engine import UnifiedAligner
 from ..wfa.params import resolve_penalties
 
 #: pairs per streaming chunk fed to the batch engine
@@ -123,7 +124,7 @@ class AllPairAligner:
         align both orientations globally with the orientation params and
         compare X+I+D op counts; ties go forward."""
         pen = resolve_penalties(self.orientation_params)
-        eng = BatchWavefrontAligner(pen, self.engine_config)
+        eng = UnifiedAligner(pen, wavefront_config=self.engine_config)
         fwd_pairs = []
         rev_pairs = []
         for i, j in chunk:
@@ -146,7 +147,7 @@ class AllPairAligner:
         self, callback: Callable[[AlignmentResult], None]
     ) -> None:
         pen = resolve_penalties(self.params)
-        eng = BatchWavefrontAligner(pen, self.engine_config)
+        eng = UnifiedAligner(pen, wavefront_config=self.engine_config)
         pairs = self.pairs
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
@@ -165,7 +166,7 @@ class AllPairAligner:
         Still batched under the hood, chunk by chunk."""
         results: List[AlignmentResult] = []
         pen = resolve_penalties(self.params)
-        eng = BatchWavefrontAligner(pen, self.engine_config)
+        eng = UnifiedAligner(pen, wavefront_config=self.engine_config)
         pairs = self.pairs
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]

@@ -47,7 +47,8 @@ import numpy as np
 
 from .params import Penalties
 
-INF = jnp.int32(2**29)
+INF = 2**29  # plain int: module-level jnp constants would commit to the
+# default (TPU) backend at import time and poison CPU lowering
 
 # choice-plane encoding
 # bits 0-2: S source: 0=diag-match, 1=diag-mismatch, 2=I1, 3=I2, 4=D1, 5=D2
