@@ -60,3 +60,20 @@ def process_alignments_with_callback(sequences, params, sparsification, callback
     from .engine.pipeline import process_alignments_with_callback as _impl
 
     return _impl(sequences, params, sparsification, callback)
+
+
+def __getattr__(name):
+    # Lazy heavyweight exports (keep `import allwave_tpu` JAX-free).
+    if name in ("AllPairAligner", "AllPairIterator"):
+        from .engine.pipeline import AllPairAligner
+
+        return AllPairAligner
+    if name == "align_pair":
+        from .wfa.simple import align_pair
+
+        return align_pair
+    if name == "KmerSketch":
+        from .sketch.minhash import KmerSketch
+
+        return KmerSketch
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -86,6 +86,32 @@ class AllPairAligner:
         self.pairs = build_pairs(sequences, self.sparsification, exclude_self)
         self._orient = OrientationIndex(sequences)
 
+    @classmethod
+    def with_options(
+        cls,
+        sequences,
+        params,
+        exclude_self: bool = True,
+        use_mash_orientation: bool = False,
+        sparsification=None,
+        **kw,
+    ) -> "AllPairAligner":
+        """Constructor parity with the reference
+        (iterator.rs:30-92)."""
+        return cls(
+            sequences,
+            params,
+            exclude_self=exclude_self,
+            use_mash_orientation=use_mash_orientation,
+            sparsification=sparsification,
+            **kw,
+        )
+
+    def with_orientation_params(self, params: AlignmentParams) -> "AllPairAligner":
+        """Reference: iterator.rs:95-98."""
+        self.orientation_params = params
+        return self
+
     def pair_count(self) -> int:
         return int(self.pairs.shape[0])
 
