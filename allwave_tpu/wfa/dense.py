@@ -121,6 +121,7 @@ def dense_forward(
 
     s0 = jnp.where(ks == 0, 0, INF).astype(jnp.int32)
     gap0 = jnp.full((B, K), INF, jnp.int32)
+    run0 = jnp.zeros((B, K), jnp.uint8)  # diag-match run lengths (sat. 255)
 
     o1e1 = jnp.int32(pen.o1 + pen.e1)
     e1 = jnp.int32(pen.e1)
@@ -130,7 +131,7 @@ def dense_forward(
     k0_col = k0  # (B,)
 
     def step(carry, d):
-        s_prev, i1, d1, i2, d2, qb, tb = carry
+        s_prev, i1, d1, i2, d2, qb, tb, runlen = carry
 
         # advance base shift registers
         qi_head = jnp.clip(qlens - ((d - k0_col) >> 1), 0, l_pad - 1)
@@ -209,9 +210,18 @@ def dense_forward(
                 | (i2_ext.astype(jnp.uint8) << 5)
                 | (d2_ext.astype(jnp.uint8) << 6)
             )
-            y = packed
+            # diag-match run length (for bulk skipping in the traceback):
+            # runlen[k] counts consecutive DIAG_MATCH choices along the
+            # path ending here; saturates at 255 (longer runs take
+            # multiple traceback hops). Parity: the predecessor run value
+            # lives at the same lane (d-2), which is runlen[k] pre-update.
+            is_run = choice == jnp.uint8(S_DIAG_MATCH)
+            inc = jnp.minimum(runlen, jnp.uint8(254)) + jnp.uint8(1)
+            new_run = jnp.where(is_run, inc, jnp.uint8(0))
+            y = (packed, new_run)
         else:
-            y = jnp.zeros((B, 1), jnp.uint8)
+            new_run = runlen
+            y = (jnp.zeros((B, 1), jnp.uint8), jnp.zeros((B, 1), jnp.uint8))
 
         clamp = lambda a: jnp.minimum(a, INF)
         s_out = jnp.where(active, clamp(s_new), s_prev)
@@ -219,12 +229,14 @@ def dense_forward(
         d1_out = jnp.where(active, clamp(d1_new), d1)
         i2_out = jnp.where(active, clamp(i2_new), i2)
         d2_out = jnp.where(active, clamp(d2_new), d2)
+        run_out = jnp.where(active, new_run, runlen) if with_choices else runlen
 
-        return (s_out, i1_out, d1_out, i2_out, d2_out, qb, tb), y
+        return (s_out, i1_out, d1_out, i2_out, d2_out, qb, tb, run_out), y
 
     ds = jnp.arange(1, 2 * l_pad + 1, dtype=jnp.int32)
-    carry, choices = jax.lax.scan(
-        step, (s0, gap0, gap0, gap0, gap0, qb, tb), ds
+    # unroll to amortize per-step loop overhead (dominant at small B*K)
+    carry, (choices, runlens) = jax.lax.scan(
+        step, (s0, gap0, gap0, gap0, gap0, qb, tb, run0), ds, unroll=4
     )
     s_final = carry[0]
 
@@ -233,14 +245,18 @@ def dense_forward(
     feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= 2 * l_pad)
     scores = jnp.where(feasible, scores, INF)
 
-    # optimality certificate: sigma < min gap cost of leaving the band
+    # Optimality certificate. A path that leaves the band must cross W+1
+    # diagonals out AND return (start k=0 and end k_end both lie in the
+    # hull), so it contains >= 2 gaps totalling >= 2*(W+1) indel bases:
+    # cost >= 2*o_min + 2*(W+1)*e_min. If the banded score beats that,
+    # the banded optimum is the global optimum.
     w = jnp.maximum(slack, 0)
-    esc = pen.o1 + pen.e1 * (w + 1)
-    if pen.two_piece:
-        esc = jnp.minimum(esc, pen.o2 + pen.e2 * (w + 1))
+    o_min = min(pen.o1, pen.o2) if pen.two_piece else pen.o1
+    e_min = min(pen.e1, pen.e2) if pen.two_piece else pen.e1
+    esc = 2 * o_min + 2 * (w + 1) * e_min
     certificate = (scores < esc) & feasible
 
-    return scores, certificate, (choices if with_choices else None)
+    return scores, certificate, ((choices, runlens) if with_choices else None)
 
 
 # --------------------------------------------------------------------------
@@ -255,7 +271,7 @@ _OP_D = ord("D")
 
 @functools.partial(jax.jit, static_argnames=("pen", "run_cap"))
 def dense_traceback(
-    choices: jnp.ndarray,  # (2*l_pad, B, K) uint8 (plane for d = step+1)
+    choices_runs,  # tuple: ((2*l_pad, B, K) uint8 choices, same-shape uint8 runlens)
     scores: jnp.ndarray,
     qlens: jnp.ndarray,
     tlens: jnp.ndarray,
@@ -263,22 +279,34 @@ def dense_traceback(
     run_cap: int,
 ):
     """Walk the choice planes from (plen, tlen) back to (0, 0), emitting
-    (op, 1) runs in reverse order (host merges; same output contract as
-    batch.wavefront_traceback). Bounded iterations — cannot hang."""
+    (op, len) runs in reverse order (host merges; same output contract as
+    batch.wavefront_traceback).
+
+    Match runs are skipped in bulk using the run-length plane (one
+    traceback hop per <=255 matched bases), so iterations scale with the
+    number of mutation events, not sequence length. One merged emit
+    (single scatter) per iteration. Bounded — cannot hang."""
+    choices, runlens = choices_runs
     D2, B, K = choices.shape
     k_end, k0, _ = _band_geometry(qlens, tlens, K)
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    flat_choices = choices.reshape(-1)
+    flat_runs = runlens.reshape(-1)
 
     def fetch(d, c):
         d_ok = (d >= 1) & (d <= D2)
         c_ok = (c >= 0) & (c < K)
         dd = jnp.clip(d - 1, 0, D2 - 1)
         cc = jnp.clip(c, 0, K - 1)
-        flat = (dd * B + jnp.arange(B, dtype=jnp.int32)) * K + cc
-        val = jnp.take(choices.reshape(-1), flat)
-        return jnp.where(d_ok & c_ok, val, jnp.uint8(0))
+        flat = (dd * B + rows) * K + cc
+        byte = jnp.where(d_ok & c_ok, jnp.take(flat_choices, flat), jnp.uint8(0))
+        run = jnp.where(d_ok & c_ok, jnp.take(flat_runs, flat), jnp.uint8(0))
+        return byte, run
 
+    # lens fit uint8: match runs are bulk-capped at 255, X/gap runs are 1
     ops0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
-    lens0 = jnp.zeros((B, run_cap), dtype=jnp.int32)
+    lens0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
     nrun0 = jnp.zeros((B,), dtype=jnp.int32)
 
     d0 = (qlens + tlens).astype(jnp.int32)
@@ -287,16 +315,9 @@ def dense_traceback(
     active0 = (scores < INF) & (d0 > 0)
     overflow0 = jnp.zeros((B,), jnp.bool_)
 
-    # each iteration either moves d back (gap/diag) or switches S->gap;
-    # d decreases at least every second iteration -> 2*D2 bound
+    # every second iteration moves d back by >= 1 -> bound; bulk skips
+    # only shrink this
     max_iters = 2 * int(D2) + 8
-
-    def emit(ops, lens, nrun, do, op):
-        idx = jnp.clip(nrun, 0, run_cap - 1)
-        rows = jnp.arange(B)
-        ops = ops.at[rows, idx].set(jnp.where(do, op, ops[rows, idx]))
-        lens = lens.at[rows, idx].set(jnp.where(do, 1, lens[rows, idx]))
-        return ops, lens, nrun + do.astype(jnp.int32)
 
     def cond(carry):
         d, c, comp, active, ops, lens, nrun, overflow, it = carry
@@ -304,27 +325,18 @@ def dense_traceback(
 
     def body(carry):
         d, c, comp, active, ops, lens, nrun, overflow, it = carry
-        byte = fetch(d, c)
+        byte, run = fetch(d, c)
         src = (byte & 7).astype(jnp.int32)
 
         is_s = comp == 0
-        # S state: diagonal moves emit M/X and jump d-2; gap closes switch
-        # component without moving.
-        diag = is_s & ((src == S_DIAG_MATCH) | (src == S_DIAG_MISMATCH))
-        emit_m = active & diag & (src == S_DIAG_MATCH)
-        emit_x = active & diag & (src == S_DIAG_MISMATCH)
-        ops, lens, nrun = emit(ops, lens, nrun, emit_m, _OP_M)
-        ops, lens, nrun = emit(ops, lens, nrun, emit_x, _OP_X)
+        is_match_run = is_s & (src == S_DIAG_MATCH)
+        is_x = is_s & (src == S_DIAG_MISMATCH)
+        run_i = jnp.maximum(run.astype(jnp.int32), 1)  # defensive: >= 1
 
         to_gap = jnp.where(
             src == S_I1, 1, jnp.where(src == S_D1, 2, jnp.where(src == S_I2, 3, 4))
         )
-        comp_s = jnp.where(diag, 0, to_gap)
-        d_s = jnp.where(diag, d - 2, d)
-        c_s = c
 
-        # gap states: emit the op, step to d-1, k-+1; extend bit decides
-        # whether to stay in the gap component.
         is_i = (comp == 1) | (comp == 3)
         is_d = (comp == 2) | (comp == 4)
         ext_bit = jnp.where(
@@ -336,14 +348,33 @@ def dense_traceback(
                 jnp.where(comp == 3, (byte >> 5) & 1, (byte >> 6) & 1),
             ),
         ).astype(jnp.bool_)
-        ops, lens, nrun = emit(ops, lens, nrun, active & is_i, _OP_I)
-        ops, lens, nrun = emit(ops, lens, nrun, active & is_d, _OP_D)
-        comp_g = jnp.where(ext_bit, comp, 0)
+
+        # ---- single merged emit ----
+        emit_op = jnp.where(
+            is_match_run,
+            jnp.uint8(_OP_M),
+            jnp.where(
+                is_x,
+                jnp.uint8(_OP_X),
+                jnp.where(is_i, jnp.uint8(_OP_I), jnp.uint8(_OP_D)),
+            ),
+        )
+        emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.uint8)
+        do_emit = active & (is_match_run | is_x | is_i | is_d)
+        idx = jnp.clip(nrun, 0, run_cap - 1)
+        ops = ops.at[rows, idx].set(jnp.where(do_emit, emit_op, ops[rows, idx]))
+        lens = lens.at[rows, idx].set(jnp.where(do_emit, emit_len, lens[rows, idx]))
+        nrun = nrun + do_emit.astype(jnp.int32)
+
+        # ---- state transitions ----
+        d_s = jnp.where(is_match_run, d - 2 * run_i, jnp.where(is_x, d - 2, d))
+        comp_s = jnp.where(is_match_run | is_x, 0, to_gap)
         d_g = d - 1
         c_g = jnp.where(is_i, c - 1, c + 1)
+        comp_g = jnp.where(ext_bit, comp, 0)
 
         new_d = jnp.where(is_s, d_s, d_g)
-        new_c = jnp.where(is_s, c_s, c_g)
+        new_c = jnp.where(is_s, c, c_g)
         new_comp = jnp.where(is_s, comp_s, comp_g)
 
         overflow = overflow | (active & (nrun >= run_cap))

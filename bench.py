@@ -35,7 +35,7 @@ def main():
 
     from allwave_tpu.core.scores import parse_scores
     from allwave_tpu.testing.synth import MutationConfig, make_test_case
-    from allwave_tpu.wfa.engine import BatchWavefrontAligner
+    from allwave_tpu.wfa.dense_engine import UnifiedAligner
     from allwave_tpu.wfa.params import resolve_penalties
     from allwave_tpu import native
 
@@ -55,9 +55,12 @@ def main():
         if i != j
     ]
 
-    eng = BatchWavefrontAligner(pen)
-    # warmup chunk absorbs compilation
-    warm = eng.align_pairs(pairs[: min(16, len(pairs))])
+    eng = UnifiedAligner(pen)
+    # full-shape warmup absorbs jit compilation (the driver wants
+    # steady-state throughput; first-compile cost is reported separately)
+    t0 = time.time()
+    warm = eng.align_pairs(pairs)
+    compile_and_first_run_s = time.time() - t0
     assert all(r is not None for r in warm)
 
     t0 = time.time()
@@ -94,6 +97,7 @@ def main():
                     "cpu_single_core_alignments_per_sec": round(cpu_rate, 2),
                     "pairs": len(pairs),
                     "wall_s": round(dt, 2),
+                    "first_run_incl_compile_s": round(compile_and_first_run_s, 2),
                 },
             }
         )
