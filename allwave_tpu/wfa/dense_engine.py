@@ -1,14 +1,17 @@
 """Host orchestration for the dense banded engine + the unified
 length-routed aligner.
 
-DenseBandAligner runs two phases:
-  1. PROBE: score-only sweeps (no choice planes) with K doubling until
-     every pair's banded score carries the optimality certificate —
-     cheap, so escalation waste is small;
-  2. TRACE: pairs grouped by certified K; one choices+traceback run per
-     group; run buffers are compacted (uint8 lens, sliced to the longest
-     actual run count) before leaving the device — transfers over the
-     TPU tunnel are expensive.
+DenseBandAligner is TRACE-FIRST: one fused device dispatch per batch
+runs forward + on-device traceback at the initial band width; pairs
+whose banded score carries the optimality certificate are done, the
+rest escalate to a wider band computed directly from their banded score
+(banded >= true score, so the jump is conservative).  At pangenome
+divergences almost every pair certifies at the first K, so the common
+case costs exactly one device round trip — this matters doubly over a
+tunneled TPU where every dispatch and transfer has real latency.
+
+Engine selection: the Pallas VMEM-resident kernel on TPU backends, the
+portable XLA scan elsewhere (override with ALLWAVE_DENSE_IMPL=xla|pallas).
 
 UnifiedAligner routes short pairs to the dense engine (L*K work, zero
 gathers, single scan) and long pairs to the wavefront engine (s*K work).
@@ -16,6 +19,7 @@ gathers, single scan) and long pairs to the wavefront engine (s*K work).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -29,13 +33,25 @@ from .engine import BatchWavefrontAligner, EngineConfig
 
 @dataclass
 class DenseConfig:
-    k_initial: int = 64
+    k_initial: int = 128
     k_max: int = 1 << 14
     #: memory budget for the (2L, B, K) choice+runlen planes of one batch
     choices_budget_bytes: int = 4 << 30
-    #: lane budget (B*K) for score-only probe sweeps
-    probe_lane_budget: int = 1 << 21
     max_batch: int = 2048
+    #: run buffer width fetched per pair; overflowing pairs (rare — more
+    #: mutation events than this) rerun with the full 2L+8 cap
+    run_cap_initial: int = 128
+    #: forward engine: None = auto (pallas on TPU, xla elsewhere)
+    impl: Optional[str] = None
+
+
+def _auto_impl() -> str:
+    env = os.environ.get("ALLWAVE_DENSE_IMPL")
+    if env in ("xla", "pallas"):
+        return env
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 class DenseBandAligner:
@@ -45,33 +61,56 @@ class DenseBandAligner:
         enable_compilation_cache()
         self.pen = pen
         self.config = config or DenseConfig()
+        self.impl = self.config.impl or _auto_impl()
 
     @staticmethod
     def _next_pow2(n: int) -> int:
         return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
 
+    def _round_k(self, k: int) -> int:
+        """Band widths the forward engine accepts: pow2 for the XLA
+        scan; pow2 multiples of 128 for the Pallas kernel's lane dim."""
+        k = self._next_pow2(k)
+        if self.impl == "pallas":
+            k = max(k, 128)
+        return k
+
     def _k_for_score(self, sigma: int, kend_abs: int) -> int:
-        """Smallest pow2 band width whose exit-and-return certificate
-        holds for a banded score sigma: 2*o_min + 2*(W+1)*e_min > sigma."""
+        """Smallest accepted band width whose exit-and-return
+        certificate holds for a banded score sigma:
+        2*o_min + 2*(W+1)*e_min > sigma."""
         o_min = min(self.pen.o1, self.pen.o2) if self.pen.two_piece else self.pen.o1
         e_min = min(self.pen.e1, self.pen.e2) if self.pen.two_piece else self.pen.e1
         w = (sigma - 2 * o_min) // (2 * e_min) + 1
         k = kend_abs + 2 * max(w, 0) + 3
-        return min(self._next_pow2(max(k, self.config.k_initial)), self.config.k_max)
+        return min(
+            self._round_k(max(k, self.config.k_initial)), self.config.k_max
+        )
 
-    def _prepare(self, sub: List[Tuple[bytes, bytes]], l_pad: int):
+    def _prepare_pool(self, sub: List[Tuple[bytes, bytes]], l_pad: int):
+        """Upload the batch as a UNIQUE-sequence pool + per-pair row
+        indices: all-pairs workloads reference each sequence ~2(n-1)
+        times, so this sends kilobytes over the ~40 MB/s driver tunnel
+        instead of megabytes of duplicated rows."""
         import jax.numpy as jnp
 
+        pool_map: Dict[bytes, int] = {}
+        for q, t in sub:
+            for sq in (q, t):
+                if sq not in pool_map:
+                    pool_map[sq] = len(pool_map)
+        p_pad = self._next_pow2(len(pool_map))
+        pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
+        for sq, r in pool_map.items():
+            pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
+        qidx = np.array([pool_map[q] for q, _ in sub], dtype=np.int32)
+        tidx = np.array([pool_map[t] for _, t in sub], dtype=np.int32)
         qlens = np.array([len(q) for q, _ in sub], dtype=np.int32)
         tlens = np.array([len(t) for _, t in sub], dtype=np.int32)
-        qs = np.zeros((len(sub), l_pad), dtype=np.uint8)
-        ts = np.zeros((len(sub), l_pad), dtype=np.uint8)
-        for r, (q, t) in enumerate(sub):
-            qs[r, : len(q)] = np.frombuffer(q, dtype=np.uint8)
-            ts[r, : len(t)] = np.frombuffer(t, dtype=np.uint8)
         return (
-            jnp.asarray(qs),
-            jnp.asarray(ts),
+            jnp.asarray(pool),
+            jnp.asarray(qidx),
+            jnp.asarray(tidx),
             jnp.asarray(qlens),
             jnp.asarray(tlens),
         )
@@ -88,78 +127,78 @@ class DenseBandAligner:
         l_pad = self._next_pow2(max(max_len, 4))
         max_kend = max(abs(len(t) - len(q)) for q, t in pairs)
 
-        # phase 1: ONE cheap probe at K0 reads each pair's banded score;
-        # from it the exact band needed for the optimality certificate is
-        # computed directly (banded score >= true score, so the jump is
-        # conservative). Pairs whose end cell was unreachable at K0 fall
-        # back to doubling.
-        cert_k: Dict[int, int] = {}
-        pending = list(range(n))
-        k = max(self.config.k_initial, self._next_pow2(max_kend + 2))
-        first_probe = True
-        while pending and k <= self.config.k_max:
-            chunk = max(1, min(self.config.probe_lane_budget // k, self.config.max_batch))
-            still: List[int] = []
-            for lo in range(0, len(pending), chunk):
-                group = pending[lo : lo + chunk]
-                b_pad = self._next_pow2(len(group))
-                sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
-                args = self._prepare(sub, l_pad)
-                scores, cert, _ = D_.dense_forward(*args, self.pen, k, l_pad, False)
-                cert = np.asarray(cert)
-                scores = np.asarray(scores)
-                for j, i in enumerate(group):
-                    if cert[j]:
-                        cert_k[i] = k
-                    elif first_probe and scores[j] < D_.INF:
-                        cert_k[i] = self._k_for_score(
-                            int(scores[j]), abs(len(pairs[i][1]) - len(pairs[i][0]))
-                        )
-                    else:
-                        still.append(i)
-            pending = still
-            k *= 2
-            first_probe = False
-
-        # phase 2: choices + traceback per certified-K group
-        by_k: Dict[int, List[int]] = {}
-        for i, kk in cert_k.items():
-            by_k.setdefault(kk, []).append(i)
-        for kk, idxs in sorted(by_k.items()):
-            per_pair = 2 * (2 * l_pad * kk)  # choices + runlen uint8 planes
+        k0 = max(
+            self._round_k(self.config.k_initial),
+            self._round_k(max_kend + 2),
+        )
+        cap0 = min(self.config.run_cap_initial, 2 * l_pad + 8)
+        # rounds keyed by (band, run_cap): trace-first at (k0, cap0);
+        # certificate failures jump straight to the band their banded
+        # score certifies (or double, if unreachable); run-buffer
+        # overflows rerun at the full cap
+        rounds: Dict[Tuple[int, int], List[int]] = {(k0, cap0): list(range(n))}
+        while rounds:
+            k, cap = min(rounds)
+            idxs = rounds.pop((k, cap))
+            if k > self.config.k_max:
+                continue  # overflow: left as None (failed pair contract)
+            per_pair = 2 * (2 * max(l_pad, 128) * k)  # choices+runlen planes
             bsz = int(
-                max(1, min(self.config.choices_budget_bytes // per_pair, self.config.max_batch))
+                max(
+                    1,
+                    min(
+                        self.config.choices_budget_bytes // per_pair,
+                        self.config.max_batch,
+                    ),
+                )
             )
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
-                self._trace_group(pairs, group, results, kk, l_pad)
+                esc = self._run_group(pairs, group, results, k, cap, l_pad)
+                for i, key in esc:
+                    rounds.setdefault(key, []).append(i)
         return results
 
-    def _trace_group(self, pairs, group, results, k, l_pad) -> None:
+    def _run_group(
+        self, pairs, group, results, k, run_cap, l_pad
+    ) -> List[Tuple[int, Tuple[int, int]]]:
+        """One fused forward+traceback dispatch, ONE device->host
+        transfer; fills certified results and returns
+        [(pair_idx, (next_k, next_cap)), ...] for escalations."""
         b_pad = self._next_pow2(len(group))
         sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
-        args = self._prepare(sub, l_pad)
-        scores, cert, choices = D_.dense_forward(*args, self.pen, k, l_pad, True)
-        run_cap = 2 * l_pad + 8
-        ops, lens, nruns, overflow = D_.dense_traceback(
-            choices, scores, args[2], args[3], self.pen, run_cap
-        )
-        nruns = np.asarray(nruns)
-        overflow = np.asarray(overflow) | ~np.asarray(cert)
-        scores = np.asarray(scores)
-        m = int(nruns.max()) if nruns.size else 0
-        # compact transfer: only the used prefix of the run buffers
-        ops = np.asarray(ops[:, :m]) if m else np.zeros((len(sub), 0), np.uint8)
-        lens = np.asarray(lens[:, :m]) if m else np.zeros((len(sub), 0), np.uint8)
-        for j, i in enumerate(group):
-            if overflow[j]:
-                results[i] = None
-                continue
-            cigar = expand_runs_to_cigar(
-                ops[j], lens[j].astype(np.int64), int(nruns[j])
+        args = self._prepare_pool(sub, l_pad)
+        packed = np.asarray(
+            D_.dense_align_packed(
+                *args, self.pen, k, l_pad, run_cap, self.impl
             )
-            results[i] = (int(scores[j]), cigar)
+        )
+        meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
+        scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
+        ops = packed[:, 16 : 16 + run_cap]
+        lens = packed[:, 16 + run_cap :]
+        good = (cert == 1) & (overflow == 0)
+        full_cap = 2 * l_pad + 8
+
+        escalate: List[Tuple[int, Tuple[int, int]]] = []
+        for j, i in enumerate(group):
+            if good[j]:
+                cigar = expand_runs_to_cigar(
+                    ops[j], lens[j].astype(np.int64), int(nruns[j])
+                )
+                results[i] = (int(scores[j]), cigar)
+            elif cert[j] == 1:  # certified score, run buffer too small
+                escalate.append((i, (k, full_cap)))
+            else:
+                kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                if scores[j] < D_.INF:
+                    nk = self._k_for_score(int(scores[j]), kend_abs)
+                    nk = max(nk, 2 * k)  # always strictly widen
+                else:
+                    nk = 2 * k
+                escalate.append((i, (nk, run_cap)))
+        return escalate
 
 
 class UnifiedAligner:

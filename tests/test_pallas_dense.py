@@ -1,0 +1,148 @@
+"""Parity tests for the Pallas dense-band kernel (interpreter mode on
+CPU) against the portable XLA scan engine.
+
+Contract: scores and certificates are bit-identical; the choices planes
+agree at every cell the traceback can visit, which we assert by running
+the SAME traceback over both planes and requiring identical run buffers
+(the planes may differ at inactive/out-of-matrix cells because the
+Pallas stream precompute wraps indices where the XLA engine clips —
+those bytes are never read)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from allwave_tpu.core.scores import parse_scores
+from allwave_tpu.wfa import dense as D_
+from allwave_tpu.wfa import pallas_dense as P_
+from allwave_tpu.wfa.params import resolve_penalties
+
+
+def _random_batch(rng, B, L, l_pad, div=0.05):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qlens = rng.randint(L // 2, L + 1, B).astype(np.int32)
+    tlens = (qlens + rng.randint(-6, 7, B)).clip(8, L).astype(np.int32)
+    qs = np.zeros((B, l_pad), np.uint8)
+    ts = np.zeros((B, l_pad), np.uint8)
+    for b in range(B):
+        q = rng.choice(bases, qlens[b])
+        if tlens[b] <= qlens[b]:
+            t = q[: tlens[b]].copy()
+        else:
+            t = np.concatenate([q, rng.choice(bases, tlens[b] - qlens[b])])
+        mut = rng.rand(tlens[b]) < div
+        t[mut] = rng.choice(bases, mut.sum())
+        qs[b, : qlens[b]] = q
+        ts[b, : tlens[b]] = t
+    return qs, ts, qlens, tlens
+
+
+@pytest.mark.parametrize(
+    "scores_str", ["0,5,8,2,24,1", "0,4,6,2", "0,1,1,1"]
+)
+def test_pallas_forward_matches_xla(scores_str):
+    pen = resolve_penalties(parse_scores(scores_str))
+    rng = np.random.RandomState(11)
+    l_pad = K = 128
+    qs, ts, qlens, tlens = _random_batch(rng, 5, 96, l_pad)
+    args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
+
+    sa, ca, cha = D_.dense_forward(*args, pen, K, l_pad, True)
+    sp, cp, chp = P_.dense_forward_pallas(
+        *args, pen, K, l_pad, True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cp))
+
+    run_cap = 2 * l_pad + 8
+    ta = D_.dense_traceback(cha, sa, args[2], args[3], pen, run_cap)
+    tp = D_.dense_traceback(chp, sp, args[2], args[3], pen, run_cap)
+    for xa, xp in zip(ta, tp):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
+
+
+def test_pallas_pads_batch_and_length():
+    """B not a multiple of 32 and l_pad < 128 are padded internally."""
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    rng = np.random.RandomState(3)
+    l_pad = 64
+    qs, ts, qlens, tlens = _random_batch(rng, 3, 48, l_pad)
+    args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
+    sa, ca, _ = D_.dense_forward(*args, pen, 128, l_pad, False)
+    sp, cp, _ = P_.dense_forward_pallas(
+        *args, pen, 128, l_pad, False, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cp))
+
+
+def test_dense_align_packed_roundtrip():
+    """The pooled, packed single-transfer entry point decodes to the
+    same results as the unpacked path."""
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    rng = np.random.RandomState(5)
+    l_pad = K = 128
+    qs, ts, qlens, tlens = _random_batch(rng, 4, 100, l_pad)
+    run_cap = 64
+
+    pool = np.concatenate([qs, ts], 0)
+    qidx = np.arange(4, dtype=np.int32)
+    tidx = np.arange(4, 8, dtype=np.int32)
+    packed = np.asarray(
+        D_.dense_align_packed(
+            jnp.asarray(pool),
+            jnp.asarray(qidx),
+            jnp.asarray(tidx),
+            jnp.asarray(qlens),
+            jnp.asarray(tlens),
+            pen,
+            K,
+            l_pad,
+            run_cap,
+            "xla",
+        )
+    )
+    meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
+    ops = packed[:, 16 : 16 + run_cap]
+    lens = packed[:, 16 + run_cap :]
+
+    args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
+    scores, cert, ops2, lens2, nruns2, ovf2 = (
+        np.asarray(x)
+        for x in D_.dense_align(*args, pen, K, l_pad, run_cap, "xla")
+    )
+    np.testing.assert_array_equal(meta[:, 0], scores)
+    np.testing.assert_array_equal(meta[:, 1], nruns2)
+    np.testing.assert_array_equal(meta[:, 2], cert.astype(np.int32))
+    np.testing.assert_array_equal(meta[:, 3], ovf2.astype(np.int32))
+    np.testing.assert_array_equal(ops, ops2)
+    np.testing.assert_array_equal(lens, lens2)
+
+
+def test_engine_pallas_impl_matches_xla_impl():
+    """DenseBandAligner with impl=pallas (interpret unavailable here, so
+    only run when a TPU backend exists) — on CPU this exercises the
+    impl plumbing with xla."""
+    from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
+
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    rng = np.random.RandomState(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for _ in range(6):
+        q = rng.choice(bases, rng.randint(60, 120)).tobytes()
+        t = bytearray(q)
+        for p in range(0, len(t), 17):
+            t[p] = bases[rng.randint(4)]
+        pairs.append((q, bytes(t)))
+    al = DenseBandAligner(pen, DenseConfig(impl="xla", run_cap_initial=16))
+    out = al.align_pairs(pairs)
+    # tiny run cap forces the overflow->full-cap escalation path
+    assert all(r is not None for r in out)
+    al2 = DenseBandAligner(pen, DenseConfig(impl="xla"))
+    out2 = al2.align_pairs(pairs)
+    for a, b in zip(out, out2):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])
