@@ -44,6 +44,41 @@ def parse_cigar_lengths(cigar_bytes: np.ndarray) -> Tuple[int, int]:
     return m + x + d, m + x + i
 
 
+def batch_cigar_stats(cigars) -> np.ndarray:
+    """Vectorized stats for a list of CIGAR byte arrays: one (n, 4)
+    int64 array of [num_matches, alignment_length, query_len,
+    target_len] rows — same semantics as count_cigar_operations +
+    parse_cigar_lengths, computed with two passes over ONE concatenated
+    buffer instead of 2n small reductions (the per-record loop showed up
+    at ~0.8 s per 16k records in the pipeline profile)."""
+    n = len(cigars)
+    out = np.zeros((n, 4), dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((c.size for c in cigars), np.int64, n)
+    cat = (
+        np.concatenate([np.asarray(c, dtype=np.uint8) for c in cigars])
+        if lens.sum()
+        else np.zeros(0, np.uint8)
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+
+    def seg_count(mask):
+        csum = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+        return csum[offs[1:]] - csum[offs[:-1]]
+
+    m = seg_count(cat == OP_M)
+    x = seg_count(cat == OP_X)
+    i = seg_count(cat == OP_I)  # consumes target
+    d = seg_count(cat == OP_D)  # consumes query
+    out[:, 0] = m
+    out[:, 1] = m + x
+    out[:, 2] = m + x + d
+    out[:, 3] = m + x + i
+    return out
+
+
 def edit_distance_from_cigar(cigar_bytes: np.ndarray) -> int:
     """Number of X/I/D ops (reference: alignment.rs:312-317)."""
     if cigar_bytes.size == 0:

@@ -34,10 +34,20 @@ DEFAULT_CHUNK = 4096
 
 
 def _result_from_cigar(
-    i: int, j: int, is_rev: bool, score: int, cigar: np.ndarray
+    i: int,
+    j: int,
+    is_rev: bool,
+    score: int,
+    cigar: np.ndarray,
+    stats=None,
 ) -> AlignmentResult:
-    num_matches, alignment_length = count_cigar_operations(cigar)
-    query_end, target_end = parse_cigar_lengths(cigar)
+    if stats is not None:
+        num_matches, alignment_length, query_end, target_end = (
+            int(v) for v in stats
+        )
+    else:
+        num_matches, alignment_length = count_cigar_operations(cigar)
+        query_end, target_end = parse_cigar_lengths(cigar)
     return AlignmentResult(
         query_idx=i,
         target_idx=j,
@@ -128,11 +138,15 @@ class AllPairAligner:
         ts: List[bytes] = []
         revs: List[bool] = []
         if self.use_mash_orientation:
-            for i, j in chunk:
-                q, is_rev = self._orient.oriented_query(int(i), int(j))
-                qs.append(q)
+            rev_arr = self._orient.orient_batch(chunk)
+            revs = [bool(r) for r in rev_arr]
+            for (i, j), is_rev in zip(chunk, revs):
+                qs.append(
+                    self._orient.rc(int(i))
+                    if is_rev
+                    else self.sequences[int(i)].seq
+                )
                 ts.append(self.sequences[int(j)].seq)
-                revs.append(is_rev)
         else:
             revs = self._orient_wfa(chunk)
             for (i, j), is_rev in zip(chunk, revs):
@@ -178,13 +192,15 @@ class AllPairAligner:
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
             qs, ts, revs = self._orient_chunk(chunk)
-            aligned = eng.align_pairs(list(zip(qs, ts)))
-            for (i, j), is_rev, res in zip(chunk, revs, aligned):
+            aligned, stats = eng.align_pairs(list(zip(qs, ts)), with_stats=True)
+            for (i, j), is_rev, res, st in zip(chunk, revs, aligned, stats):
                 if res is None:
                     result = AlignmentResult.failed(int(i), int(j), is_rev)
                 else:
                     score, cigar = res
-                    result = _result_from_cigar(int(i), int(j), is_rev, score, cigar)
+                    result = _result_from_cigar(
+                        int(i), int(j), is_rev, score, cigar, st
+                    )
                 callback(result)
 
     def __iter__(self):
@@ -197,13 +213,15 @@ class AllPairAligner:
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
             qs, ts, revs = self._orient_chunk(chunk)
-            aligned = eng.align_pairs(list(zip(qs, ts)))
-            for (i, j), is_rev, res in zip(chunk, revs, aligned):
+            aligned, stats = eng.align_pairs(list(zip(qs, ts)), with_stats=True)
+            for (i, j), is_rev, res, st in zip(chunk, revs, aligned, stats):
                 if res is None:
                     yield AlignmentResult.failed(int(i), int(j), is_rev)
                 else:
                     score, cigar = res
-                    yield _result_from_cigar(int(i), int(j), is_rev, score, cigar)
+                    yield _result_from_cigar(
+                        int(i), int(j), is_rev, score, cigar, st
+                    )
 
 
 def process_alignments_with_callback(

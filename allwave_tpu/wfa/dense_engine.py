@@ -116,12 +116,17 @@ class DenseBandAligner:
         )
 
     def align_pairs(
-        self, pairs: List[Tuple[bytes, bytes]]
-    ) -> List[Optional[Tuple[int, np.ndarray]]]:
+        self, pairs: List[Tuple[bytes, bytes]], with_stats: bool = False
+    ):
+        """[(score, cigar)] in input order (None = failed). With
+        with_stats=True also returns an (n, 4) int64 array of
+        [num_matches, alignment_length, query_len, target_len] computed
+        vectorized from the run buffers (zeros for failed rows)."""
         n = len(pairs)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
+        stats = np.zeros((n, 4), dtype=np.int64)
         if n == 0:
-            return results
+            return (results, stats) if with_stats else results
 
         max_len = max(max(len(q), len(t)) for q, t in pairs)
         l_pad = self._next_pow2(max(max_len, 4))
@@ -155,13 +160,15 @@ class DenseBandAligner:
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
-                esc = self._run_group(pairs, group, results, k, cap, l_pad)
+                esc = self._run_group(
+                    pairs, group, results, stats, k, cap, l_pad
+                )
                 for i, key in esc:
                     rounds.setdefault(key, []).append(i)
-        return results
+        return (results, stats) if with_stats else results
 
     def _run_group(
-        self, pairs, group, results, k, run_cap, l_pad
+        self, pairs, group, results, stats, k, run_cap, l_pad
     ) -> List[Tuple[int, Tuple[int, int]]]:
         """One fused forward+traceback dispatch, ONE device->host
         transfer; fills certified results and returns
@@ -169,10 +176,14 @@ class DenseBandAligner:
         b_pad = self._next_pow2(len(group))
         sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
         args = self._prepare_pool(sub, l_pad)
+        impl = self.impl
+        if impl == "pallas":
+            from .pallas_dense import K_MAX
+
+            if k > K_MAX:  # band too wide for VMEM; rare escalations
+                impl = "xla"
         packed = np.asarray(
-            D_.dense_align_packed(
-                *args, self.pen, k, l_pad, run_cap, self.impl
-            )
+            D_.dense_align_packed(*args, self.pen, k, l_pad, run_cap, impl)
         )
         meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
         scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
@@ -181,6 +192,16 @@ class DenseBandAligner:
         good = (cert == 1) & (overflow == 0)
         full_cap = 2 * l_pad + 8
 
+        # vectorized PAF stats straight from the run buffers (the
+        # per-record expanded-cigar reductions showed up at ~0.5 s per
+        # 16k records in the pipeline profile)
+        valid = np.arange(run_cap)[None, :] < nruns[:, None]
+        l64 = lens.astype(np.int64)
+        m_ct = np.where((ops == ord("M")) & valid, l64, 0).sum(1)
+        x_ct = np.where((ops == ord("X")) & valid, l64, 0).sum(1)
+        i_ct = np.where((ops == ord("I")) & valid, l64, 0).sum(1)
+        d_ct = np.where((ops == ord("D")) & valid, l64, 0).sum(1)
+
         escalate: List[Tuple[int, Tuple[int, int]]] = []
         for j, i in enumerate(group):
             if good[j]:
@@ -188,6 +209,10 @@ class DenseBandAligner:
                     ops[j], lens[j].astype(np.int64), int(nruns[j])
                 )
                 results[i] = (int(scores[j]), cigar)
+                stats[i, 0] = m_ct[j]
+                stats[i, 1] = m_ct[j] + x_ct[j]
+                stats[i, 2] = m_ct[j] + x_ct[j] + d_ct[j]  # query consumed
+                stats[i, 3] = m_ct[j] + x_ct[j] + i_ct[j]  # target consumed
             elif cert[j] == 1:  # certified score, run buffer too small
                 escalate.append((i, (k, full_cap)))
             else:
@@ -218,10 +243,11 @@ class UnifiedAligner:
         self.wavefront = BatchWavefrontAligner(pen, wavefront_config)
 
     def align_pairs(
-        self, pairs: List[Tuple[bytes, bytes]]
-    ) -> List[Optional[Tuple[int, np.ndarray]]]:
+        self, pairs: List[Tuple[bytes, bytes]], with_stats: bool = False
+    ):
         n = len(pairs)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
+        stats = np.zeros((n, 4), dtype=np.int64)
         short_idx = [
             i
             for i, (q, t) in enumerate(pairs)
@@ -241,12 +267,19 @@ class UnifiedAligner:
                 by_pad.setdefault(pad, []).append(i)
             for pad, idxs in sorted(by_pad.items()):
                 sub = [pairs[i] for i in idxs]
-                out = self.dense.align_pairs(sub)
-                for i, r in zip(idxs, out):
+                out, st = self.dense.align_pairs(sub, with_stats=True)
+                for row, (i, r) in enumerate(zip(idxs, out)):
                     results[i] = r
+                    stats[i] = st[row]
         if long_idx:
+            from ..core.cigar import batch_cigar_stats
+
             sub = [pairs[i] for i in long_idx]
             out = self.wavefront.align_pairs(sub)
-            for i, r in zip(long_idx, out):
+            st = batch_cigar_stats(
+                [r[1] if r is not None else np.zeros(0, np.uint8) for r in out]
+            )
+            for row, (i, r) in enumerate(zip(long_idx, out)):
                 results[i] = r
-        return results
+                stats[i] = st[row]
+        return (results, stats) if with_stats else results

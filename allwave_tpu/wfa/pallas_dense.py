@@ -56,9 +56,25 @@ from .dense import (
     _band_geometry,
 )
 
-B_TILE = 32  # sublane tile: 32 pairs per grid program
-LANES = 128  # K must be a multiple of this
-D_CHUNK = 256  # anti-diagonal steps per streamed output block
+B_TILE = 32  # sublane tile at the default band width
+LANES = 128  # K and d_chunk must be multiples of this (Mosaic block rule)
+#: ceiling for one streamed (d_chunk, B_TILE, K) choices block; with two
+#: planes and double buffering this bounds streaming VMEM at ~4 MB
+PLANE_BYTES_MAX = 1 << 20
+K_MAX = 2048  # beyond this the streamed planes blow VMEM even at the
+# smallest tile — callers fall back to the XLA scan engine (escalations
+# this wide are rare)
+
+
+def _tiles_for(k_width: int, l_pad: int):
+    """(batch_tile, d_chunk) for a band width: wide bands shrink the
+    pair tile (lane-dim block sizes must stay multiples of 128, so the
+    d-chunk can't shrink below 128)."""
+    tb = B_TILE if k_width <= 256 else 8
+    d = PLANE_BYTES_MAX // (tb * k_width)
+    d = 1 << (d.bit_length() - 1)  # pow2 so it divides 2*l_pad
+    d = max(LANES, min(256, d))
+    return tb, min(d, max(2 * l_pad, LANES))
 
 
 def _roll_rows(x, shifts, width):
@@ -76,7 +92,7 @@ def _roll_rows(x, shifts, width):
     return x
 
 
-def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad):
+def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad, d_chunk):
     """XLA-side precompute (runs once per batch, off the hot loop):
     initial K-lane base registers and the per-step head/tail byte
     streams, all gather-free.
@@ -113,11 +129,11 @@ def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad):
     qb0 = _roll_rows(qrep_rev, -(1 + k0), D2)[:, :K]
     tb0 = _roll_rows(trep, 2 - k0, D2)[:, :K]
 
-    # reverse each D_CHUNK-sized window of the head stream: the kernel
+    # reverse each d_chunk-sized window of the head stream: the kernel
     # lays window w at lanes [0:W] with head for local step j at lane
     # W-1-j, so j+1 rolls bring it to the band's entry lane
-    nd = D2 // D_CHUNK
-    q_heads_rev = q_heads.reshape(B, nd, D_CHUNK)[:, :, ::-1].reshape(B, D2)
+    nd = D2 // d_chunk
+    q_heads_rev = q_heads.reshape(B, nd, d_chunk)[:, :, ::-1].reshape(B, D2)
 
     # int32 everywhere: Mosaic has no i8 vector arith/strided loads
     return (
@@ -154,11 +170,12 @@ def _kernel(
     run_ref,
     *,
     pen: Penalties,
+    d_chunk: int,
     with_choices: bool,
 ):
     K = s_ref.shape[1]
     TB = s_ref.shape[0]
-    W = D_CHUNK
+    W = d_chunk
     dch = pl.program_id(1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
@@ -334,14 +351,17 @@ def dense_forward_pallas(
     K = k_width
     if K % LANES:
         raise ValueError(f"k_width must be a multiple of {LANES}, got {K}")
-    l_pad_eff = max(l_pad, D_CHUNK // 2)
-    if (2 * l_pad_eff) % D_CHUNK:
-        raise ValueError(f"2*l_pad must divide {D_CHUNK}, got {l_pad}")
+    if K > K_MAX:
+        raise ValueError(
+            f"k_width {K} > {K_MAX}: use the XLA engine for bands this wide"
+        )
+    tb, d_chunk = _tiles_for(K, max(l_pad, 4))
+    l_pad_eff = max(l_pad, d_chunk // 2)
     if l_pad_eff != l_pad:
         padc = jnp.zeros((B0, l_pad_eff - l_pad), jnp.uint8)
         qs = jnp.concatenate([qs, padc], 1)
         ts = jnp.concatenate([ts, padc], 1)
-    B = ((B0 + B_TILE - 1) // B_TILE) * B_TILE
+    B = ((B0 + tb - 1) // tb) * tb
     if B != B0:
         padq = jnp.zeros((B - B0, l_pad_eff), jnp.uint8)
         qs = jnp.concatenate([qs, padq], 0)
@@ -351,28 +371,28 @@ def dense_forward_pallas(
         tlens = jnp.concatenate([tlens, padl], 0)
 
     D2 = 2 * l_pad_eff
-    nd = D2 // D_CHUNK
-    nb = B // B_TILE
+    nd = D2 // d_chunk
+    nb = B // tb
 
     qb0, tb0, q_heads_rev, t_tails, k0, k_end, slack = _precompute_streams(
-        qs, ts, qlens, tlens, K, l_pad_eff
+        qs, ts, qlens, tlens, K, l_pad_eff, d_chunk
     )
 
     meta_spec = pl.BlockSpec(
-        (B_TILE, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+        (tb, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM
     )
     band_spec = pl.BlockSpec(
-        (B_TILE, K), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+        (tb, K), lambda b, d: (b, 0), memory_space=pltpu.VMEM
     )
     stream_spec = pl.BlockSpec(
-        (B_TILE, D_CHUNK), lambda b, d: (b, d), memory_space=pltpu.VMEM
+        (tb, d_chunk), lambda b, d: (b, d), memory_space=pltpu.VMEM
     )
 
     out_shapes = [jax.ShapeDtypeStruct((B, K), jnp.int32)]
     out_specs = [band_spec]
     if with_choices:
         plane_spec = pl.BlockSpec(
-            (D_CHUNK, B_TILE, K),
+            (d_chunk, tb, K),
             lambda b, d: (d, b, 0),
             memory_space=pltpu.VMEM,
         )
@@ -383,7 +403,7 @@ def dense_forward_pallas(
         out_specs += [plane_spec, plane_spec]
     else:
         dummy_spec = pl.BlockSpec(
-            (1, B_TILE, K), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
+            (1, tb, K), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
         )
         out_shapes += [
             jax.ShapeDtypeStruct((1, B, K), jnp.uint8),
@@ -391,7 +411,9 @@ def dense_forward_pallas(
         ]
         out_specs += [dummy_spec, dummy_spec]
 
-    kernel = functools.partial(_kernel, pen=pen, with_choices=with_choices)
+    kernel = functools.partial(
+        _kernel, pen=pen, d_chunk=d_chunk, with_choices=with_choices
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(nb, nd),
@@ -407,14 +429,14 @@ def dense_forward_pallas(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((B_TILE, K), jnp.int32),  # S
-            pltpu.VMEM((B_TILE, K), jnp.int32),  # I1
-            pltpu.VMEM((B_TILE, K), jnp.int32),  # D1
-            pltpu.VMEM((B_TILE, K), jnp.int32),  # I2
-            pltpu.VMEM((B_TILE, K), jnp.int32),  # D2
-            pltpu.VMEM((B_TILE, D_CHUNK + K), jnp.int32),  # qb ext register
-            pltpu.VMEM((B_TILE, K + D_CHUNK), jnp.int32),  # tb ext register
-            pltpu.VMEM((B_TILE, K), jnp.int32),  # runlen
+            pltpu.VMEM((tb, K), jnp.int32),  # S
+            pltpu.VMEM((tb, K), jnp.int32),  # I1
+            pltpu.VMEM((tb, K), jnp.int32),  # D1
+            pltpu.VMEM((tb, K), jnp.int32),  # I2
+            pltpu.VMEM((tb, K), jnp.int32),  # D2
+            pltpu.VMEM((tb, d_chunk + K), jnp.int32),  # qb ext register
+            pltpu.VMEM((tb, K + d_chunk), jnp.int32),  # tb ext register
+            pltpu.VMEM((tb, K), jnp.int32),  # runlen
         ],
         interpret=interpret,
     )(

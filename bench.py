@@ -35,7 +35,6 @@ def main():
 
     from allwave_tpu.core.scores import parse_scores
     from allwave_tpu.testing.synth import MutationConfig, make_test_case
-    from allwave_tpu.wfa.dense_engine import UnifiedAligner
     from allwave_tpu.wfa.params import resolve_penalties
     from allwave_tpu import native
 
@@ -46,32 +45,48 @@ def main():
     case = make_test_case(seed=1234, n_sequences=n_seqs, length=length, cfg=cfg)
     seqs = case.sequences
 
-    # directed all-pairs (orientation is trivially forward here; bench the
-    # alignment path, which dominates)
+    # END-TO-END: the full pipeline the CLI runs — mash orientation +
+    # batched device alignment + CIGAR materialization (reference flow:
+    # main.rs:370 -> alignment.rs:25-66)
+    from allwave_tpu.core.types import NoSparsification
+    from allwave_tpu.engine.pipeline import AllPairAligner
+    from allwave_tpu.core.scores import parse_scores as _ps
+
+    def run_once():
+        aligner = AllPairAligner(
+            seqs,
+            _ps("0,5,8,2,24,1"),
+            exclude_self=True,
+            use_mash_orientation=True,
+            sparsification=NoSparsification(),
+        )
+        out = []
+        aligner.for_each_with_callback(out.append)
+        return out
+
+    # full-shape warmup absorbs jit compilation (the driver wants
+    # steady-state throughput; first-compile cost is reported separately)
+    t0 = time.time()
+    warm = run_once()
+    compile_and_first_run_s = time.time() - t0
+    assert all(r.score < 2**31 - 1 for r in warm)
     pairs = [
         (seqs[i].seq, seqs[j].seq)
         for i in range(n_seqs)
         for j in range(n_seqs)
         if i != j
     ]
-
-    eng = UnifiedAligner(pen)
-    # full-shape warmup absorbs jit compilation (the driver wants
-    # steady-state throughput; first-compile cost is reported separately)
-    t0 = time.time()
-    warm = eng.align_pairs(pairs)
-    compile_and_first_run_s = time.time() - t0
-    assert all(r is not None for r in warm)
+    assert len(warm) == len(pairs)
 
     t0 = time.time()
-    results = eng.align_pairs(pairs)
+    results = run_once()
     dt = time.time() - t0
-    n_ok = sum(1 for r in results if r is not None)
+    n_ok = sum(1 for r in results if r.alignment_length > 0)
     device_rate = n_ok / dt
 
     # wavefront cells/s: sum over pairs of s*^2 (the exact DP cell count
     # of the full band) / wall time — the survey's second north-star metric
-    cells = sum((r[0] + 1) * (2 * r[0] + 1) for r in results if r is not None)
+    cells = sum((r.score + 1) * (2 * r.score + 1) for r in results)
     cells_per_sec = cells / dt
 
     # CPU baseline: native single-core on a sample, extrapolated

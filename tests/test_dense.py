@@ -133,3 +133,29 @@ def test_dense_random_vs_dense_dp(seed):
         assert res[0] == dense_score(q, t, pen)
         validate_cigar(res[1], q, t)
         assert cigar_score(res[1], pen) == res[0]
+
+
+def test_align_pairs_with_stats_matches_cigar_reductions():
+    import numpy as np
+    from allwave_tpu.core.cigar import batch_cigar_stats
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.wfa.dense_engine import UnifiedAligner
+    from allwave_tpu.wfa.params import resolve_penalties
+
+    rng = np.random.RandomState(33)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for _ in range(12):
+        q = rng.choice(bases, rng.randint(50, 200))
+        t = q.copy()
+        for p in range(0, len(t), 13):
+            t[p] = bases[rng.randint(4)]
+        # an indel
+        t = np.concatenate([t[:20], t[23:]])
+        pairs.append((q.tobytes(), t.tobytes()))
+    eng = UnifiedAligner(resolve_penalties(parse_scores("0,5,8,2,24,1")))
+    results, stats = eng.align_pairs(pairs, with_stats=True)
+    expect = batch_cigar_stats(
+        [r[1] if r is not None else np.zeros(0, np.uint8) for r in results]
+    )
+    np.testing.assert_array_equal(stats, expect)

@@ -69,3 +69,32 @@ def test_palindromic_revcomp_tie():
     core = b"ACGT" * 50  # ACGT is its own revcomp when repeated
     oriented, is_rev = determine_orientation_mash(core, core)
     assert not is_rev
+
+
+def test_orient_batch_matches_per_pair():
+    """Vectorized orient_batch must make bit-identical decisions to the
+    per-pair orient() path (same float64 Jaccard, tie -> forward)."""
+    import numpy as np
+    from allwave_tpu.core.types import Sequence
+    from allwave_tpu.orient.orientation import (
+        OrientationIndex,
+        reverse_complement,
+    )
+
+    rng = np.random.RandomState(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    for i in range(10):
+        s = rng.choice(bases, rng.randint(80, 400)).tobytes()
+        if i % 3 == 2:
+            s = reverse_complement(s)
+        seqs.append(Sequence(id=f"s{i}", seq=s))
+    # include a too-short sequence (empty sketch edge case)
+    seqs.append(Sequence(id="tiny", seq=b"ACGT"))
+    idx_pairs = [
+        (i, j) for i in range(len(seqs)) for j in range(len(seqs)) if i != j
+    ]
+    oi = OrientationIndex(seqs)
+    batch = oi.orient_batch(idx_pairs)
+    for p, (i, j) in enumerate(idx_pairs):
+        assert batch[p] == oi.orient(i, j), (i, j)
