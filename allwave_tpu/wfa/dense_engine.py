@@ -158,21 +158,29 @@ class DenseBandAligner:
                 )
             )
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+            # software pipeline: dispatch group g+1 before collecting
+            # group g, so upload + host decode/CIGAR expansion overlap
+            # the device compute of the next batch
+            inflight = None
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
-                esc = self._run_group(
-                    pairs, group, results, stats, k, cap, l_pad
-                )
-                for i, key in esc:
+                dispatched = self._dispatch_group(pairs, group, k, cap, l_pad)
+                if inflight is not None:
+                    for i, key in self._collect_group(
+                        pairs, *inflight, results, stats, k, cap, l_pad
+                    ):
+                        rounds.setdefault(key, []).append(i)
+                inflight = (group, dispatched)
+            if inflight is not None:
+                for i, key in self._collect_group(
+                    pairs, *inflight, results, stats, k, cap, l_pad
+                ):
                     rounds.setdefault(key, []).append(i)
         return (results, stats) if with_stats else results
 
-    def _run_group(
-        self, pairs, group, results, stats, k, run_cap, l_pad
-    ) -> List[Tuple[int, Tuple[int, int]]]:
-        """One fused forward+traceback dispatch, ONE device->host
-        transfer; fills certified results and returns
-        [(pair_idx, (next_k, next_cap)), ...] for escalations."""
+    def _dispatch_group(self, pairs, group, k, run_cap, l_pad):
+        """Upload + enqueue one fused forward+traceback dispatch;
+        returns the in-flight device buffer (not yet transferred)."""
         b_pad = self._next_pow2(len(group))
         sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
         args = self._prepare_pool(sub, l_pad)
@@ -182,9 +190,16 @@ class DenseBandAligner:
 
             if k > K_MAX:  # band too wide for VMEM; rare escalations
                 impl = "xla"
-        packed = np.asarray(
-            D_.dense_align_packed(*args, self.pen, k, l_pad, run_cap, impl)
+        return D_.dense_align_packed(
+            *args, self.pen, k, l_pad, run_cap, impl
         )
+
+    def _collect_group(
+        self, pairs, group, device_buf, results, stats, k, run_cap, l_pad
+    ) -> List[Tuple[int, Tuple[int, int]]]:
+        """ONE device->host transfer; fills certified results and
+        returns [(pair_idx, (next_k, next_cap)), ...] for escalations."""
+        packed = np.asarray(device_buf)
         meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
         scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
         ops = packed[:, 16 : 16 + run_cap]
