@@ -254,7 +254,10 @@ def dense_forward(
     o_min = min(pen.o1, pen.o2) if pen.two_piece else pen.o1
     e_min = min(pen.e1, pen.e2) if pen.two_piece else pen.e1
     esc = 2 * o_min + 2 * (w + 1) * e_min
-    certificate = (scores < esc) & feasible
+    # a band covering every diagonal of the matrix IS the unbanded DP:
+    # certify unconditionally (no path can leave the matrix)
+    full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
+    certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
 
     return scores, certificate, ((choices, runlens) if with_choices else None)
 

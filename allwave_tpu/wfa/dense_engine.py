@@ -136,6 +136,12 @@ class DenseBandAligner:
             self._round_k(self.config.k_initial),
             self._round_k(max_kend + 2),
         )
+        # a band of k_full diagonals covers the whole matrix — widening
+        # past it is pointless (the full-cover certificate always fires)
+        k_full = self._round_k(
+            max(max(len(q) + len(t) for q, t in pairs) + 1, 2)
+        )
+        k0 = min(k0, k_full)
         cap0 = min(self.config.run_cap_initial, 2 * l_pad + 8)
         # rounds keyed by (band, run_cap): trace-first at (k0, cap0);
         # certificate failures jump straight to the band their banded
@@ -237,13 +243,22 @@ class DenseBandAligner:
                     nk = max(nk, 2 * k)  # always strictly widen
                 else:
                     nk = 2 * k
+                k_full = self._round_k(
+                    len(pairs[i][0]) + len(pairs[i][1]) + 1
+                )
+                nk = min(nk, max(k_full, 2 * k))
                 escalate.append((i, (nk, run_cap)))
         return escalate
 
 
 class UnifiedAligner:
-    """Length-routed dispatcher: dense engine for short pairs, wavefront
-    engine for long pairs. Same align_pairs contract as both."""
+    """Length-routed dispatcher: one-shot dense engine for short pairs,
+    segmented (checkpoint-replay) dense engine for long pairs — the
+    latter replaces the wavefront engine's full-history pass, whose
+    O(s^2) planes made 100 kb pairs a batch-of-one (the reference covers
+    this regime with biWFA's O(s) memory, alignment.rs:265-287). The
+    wavefront engine remains available via `wavefront` for score-only
+    discovery workloads."""
 
     def __init__(
         self,
@@ -251,10 +266,14 @@ class UnifiedAligner:
         dense_max_len: int = 16384,
         dense_config: Optional[DenseConfig] = None,
         wavefront_config: Optional[EngineConfig] = None,
+        segmented_config=None,
     ):
+        from .segmented import SegmentedDenseAligner
+
         self.pen = pen
         self.dense_max_len = dense_max_len
         self.dense = DenseBandAligner(pen, dense_config)
+        self.segmented = SegmentedDenseAligner(pen, segmented_config)
         self.wavefront = BatchWavefrontAligner(pen, wavefront_config)
 
     def align_pairs(
@@ -290,7 +309,7 @@ class UnifiedAligner:
             from ..core.cigar import batch_cigar_stats
 
             sub = [pairs[i] for i in long_idx]
-            out = self.wavefront.align_pairs(sub)
+            out = self.segmented.align_pairs(sub)
             st = batch_cigar_stats(
                 [r[1] if r is not None else np.zeros(0, np.uint8) for r in out]
             )

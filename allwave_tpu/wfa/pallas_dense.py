@@ -61,21 +61,32 @@ LANES = 128  # K and d_chunk must be multiples of this (Mosaic block rule)
 #: ceiling for one streamed (d_chunk, B_TILE, K) choices block; with two
 #: planes and double buffering this bounds streaming VMEM at ~4 MB
 PLANE_BYTES_MAX = 1 << 20
-K_MAX = 2048  # beyond this the streamed planes blow VMEM even at the
-# smallest tile — callers fall back to the XLA scan engine (escalations
-# this wide are rare)
+K_MAX = 16384  # ceiling for the pair tile tb=8: five int32 bands plus
+# the extended registers and the streamed plane blocks stay within the
+# 16 MB VMEM scoped limit
 
 
 def _tiles_for(k_width: int, l_pad: int):
-    """(batch_tile, d_chunk) for a band width: wide bands shrink the
-    pair tile (lane-dim block sizes must stay multiples of 128, so the
-    d-chunk can't shrink below 128). Measured on v5e: tb=64 beats 32 by
-    ~10% at K=128 (amortizes per-step overhead); tb=8 is ~1.6x WORSE."""
+    """(batch_tile, d_chunk, stream_period) for a band width.
+
+    * tb: pairs per grid program. Measured on v5e: tb=64 beats 32 by
+      ~10% at K=128 (amortizes per-step overhead); tb=8 is ~1.6x WORSE
+      at K=128 but the only fit for wide bands.
+    * d_chunk: anti-diagonal steps per grid step == leading dim of one
+      streamed choices block (bounded by PLANE_BYTES_MAX; the leading
+      dim of a 3D block is free of the (8, 128) tiling rule).
+    * stream_period: lanes per base-stream refill window — stream
+      blocks are 2D so their lane dim must be >= 128; when d_chunk
+      drops below 128 (wide bands), several grid steps share one
+      window held in the extended registers.
+    """
     tb = 64 if k_width <= 128 else (B_TILE if k_width <= 256 else 8)
     d = PLANE_BYTES_MAX // (tb * k_width)
     d = 1 << max(d.bit_length() - 1, 0)  # pow2 so it divides 2*l_pad
-    d = max(LANES, min(256, d))
-    return tb, min(d, max(2 * l_pad, LANES))
+    d = max(8, min(256, d))
+    d = min(d, max(2 * l_pad, 8))
+    period = max(d, LANES)
+    return tb, d, period
 
 
 def _roll_rows(x, shifts, width):
@@ -126,9 +137,17 @@ def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad, d_chunk):
     t_tails = _roll_rows(trep, 2 - K - k0, D2)
 
     # initial registers: qb0[b, c] = qrep_rev[b, c + 1 + k0_b],
-    # tb0[b, c] = trep[b, k0_b + c - 2]  (mod 2L), first K lanes
-    qb0 = _roll_rows(qrep_rev, -(1 + k0), D2)[:, :K]
-    tb0 = _roll_rows(trep, 2 - k0, D2)[:, :K]
+    # tb0[b, c] = trep[b, k0_b + c - 2]  (mod 2L), first K lanes.
+    # Bands wider than the matrix (K > 2L) extend cyclically — the mod
+    # arithmetic only ever lands on wrapped values at inactive lanes
+    qb0_full = _roll_rows(qrep_rev, -(1 + k0), D2)
+    tb0_full = _roll_rows(trep, 2 - k0, D2)
+    if K > D2:
+        reps = -(-K // D2)
+        qb0_full = jnp.tile(qb0_full, (1, reps))
+        tb0_full = jnp.tile(tb0_full, (1, reps))
+    qb0 = qb0_full[:, :K]
+    tb0 = tb0_full[:, :K]
 
     # reverse each d_chunk-sized window of the head stream: the kernel
     # lays window w at lanes [0:W] with head for local step j at lane
@@ -148,36 +167,43 @@ def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad, d_chunk):
     )
 
 
-def _kernel(
+def run_dp_chunk(
     qlens_ref,
     tlens_ref,
     k0_ref,
-    qb0_ref,
-    tb0_ref,
     qheads_ref,
     ttails_ref,
-    # outputs
-    sout_ref,
     choices_ref,
     runs_ref,
-    # scratch
     s_ref,
     i1_ref,
     d1_ref,
     i2_ref,
     d2_ref,
-    qb_ref,  # (TB, W+K): lanes [0:W] = reversed future heads, [W:] = band
-    tb_ref,  # (TB, K+W): lanes [0:K] = band, [K:] = future tails
+    qb_ref,
+    tb_ref,
     run_ref,
     *,
     pen: Penalties,
     d_chunk: int,
     with_choices: bool,
+    d_base,  # traced scalar: global anti-diagonal index of chunk start
+    stream_period: int = 0,  # lanes per stream refill (0 = d_chunk)
+    local_base=None,  # refill phase counter (defaults to d_base)
 ):
+    """One d_chunk-step DP sweep over the VMEM-resident band state —
+    shared by the full-sweep kernel below and the segmented span kernel
+    (pallas_span.py), so the cell arithmetic and tie-breaks have exactly
+    one definition.
+
+    stream_period decouples the base-stream refill width from the
+    d_chunk grid granularity: wide bands need small plane-write blocks
+    (VMEM) but the stream blocks' lane dim must stay >= 128, so several
+    consecutive grid steps share one stream window held in the extended
+    registers (refilled when the phase counter wraps)."""
     K = s_ref.shape[1]
     TB = s_ref.shape[0]
-    W = d_chunk
-    dch = pl.program_id(1)
+    W = stream_period or d_chunk
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
     k0 = k0_ref[:, :1]
@@ -186,27 +212,20 @@ def _kernel(
     tlen = tlens_ref[:, :1]
     inf = jnp.int32(INF)
 
-    @pl.when(dch == 0)
-    def _init():
-        s_ref[:] = jnp.where(ks == 0, 0, inf)
-        i1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        d1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        i2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        d2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        qb_ref[:, W:] = qb0_ref[:]
-        tb_ref[:, :K] = tb0_ref[:]
-        run_ref[:] = jnp.zeros((TB, K), jnp.int32)
+    # (re)load the stream window into the extended registers whenever a
+    # new window starts (every grid step when stream_period == d_chunk)
+    phase = d_base if local_base is None else local_base
 
-    # load this chunk's base streams into the extended registers
-    qb_ref[:, :W] = qheads_ref[:]
-    tb_ref[:, K:] = ttails_ref[:]
+    @pl.when(jax.lax.rem(phase, W) == 0)
+    def _refill():
+        qb_ref[:, :W] = qheads_ref[:]
+        tb_ref[:, K:] = ttails_ref[:]
 
     o1e1 = jnp.int32(pen.o1 + pen.e1)
     e1 = jnp.int32(pen.e1)
     o2e2 = jnp.int32(pen.o2 + pen.e2) if pen.two_piece else jnp.int32(0)
     e2 = jnp.int32(pen.e2) if pen.two_piece else jnp.int32(0)
     x = jnp.int32(pen.x)
-    d_base = dch * W
 
     def step(j, _):
         d = d_base + j + 1
@@ -329,7 +348,79 @@ def _kernel(
         step(2 * jj + 1, 0)
         return 0
 
-    jax.lax.fori_loop(0, W // 2, _step2, 0)
+    jax.lax.fori_loop(0, d_chunk // 2, _step2, 0)
+
+
+def _kernel(
+    qlens_ref,
+    tlens_ref,
+    k0_ref,
+    qb0_ref,
+    tb0_ref,
+    qheads_ref,
+    ttails_ref,
+    # outputs
+    sout_ref,
+    choices_ref,
+    runs_ref,
+    # scratch
+    s_ref,
+    i1_ref,
+    d1_ref,
+    i2_ref,
+    d2_ref,
+    qb_ref,  # (TB, W+K): lanes [0:W] = reversed future heads, [W:] = band
+    tb_ref,  # (TB, K+W): lanes [0:K] = band, [K:] = future tails
+    run_ref,
+    *,
+    pen: Penalties,
+    d_chunk: int,
+    with_choices: bool,
+    stream_period: int = 0,
+):
+    K = s_ref.shape[1]
+    TB = s_ref.shape[0]
+    W = stream_period or d_chunk
+    dch = pl.program_id(1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
+    k0 = k0_ref[:, :1]
+    ks = k0 + lane
+    inf = jnp.int32(INF)
+
+    @pl.when(dch == 0)
+    def _init():
+        s_ref[:] = jnp.where(ks == 0, 0, inf)
+        i1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        d1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        i2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        d2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        qb_ref[:, W:] = qb0_ref[:]
+        tb_ref[:, :K] = tb0_ref[:]
+        run_ref[:] = jnp.zeros((TB, K), jnp.int32)
+
+    run_dp_chunk(
+        qlens_ref,
+        tlens_ref,
+        k0_ref,
+        qheads_ref,
+        ttails_ref,
+        choices_ref,
+        runs_ref,
+        s_ref,
+        i1_ref,
+        d1_ref,
+        i2_ref,
+        d2_ref,
+        qb_ref,
+        tb_ref,
+        run_ref,
+        pen=pen,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        d_base=dch * d_chunk,
+        stream_period=stream_period,
+    )
     sout_ref[:] = s_ref[:]
 
 
@@ -363,8 +454,8 @@ def dense_forward_pallas(
         raise ValueError(
             f"k_width {K} > {K_MAX}: use the XLA engine for bands this wide"
         )
-    tb, d_chunk = _tiles_for(K, max(l_pad, 4))
-    l_pad_eff = max(l_pad, d_chunk // 2)
+    tb, d_chunk, period = _tiles_for(K, max(l_pad, 4))
+    l_pad_eff = max(l_pad, period // 2, d_chunk // 2)
     if l_pad_eff != l_pad:
         padc = jnp.zeros((B0, l_pad_eff - l_pad), jnp.uint8)
         qs = jnp.concatenate([qs, padc], 1)
@@ -383,7 +474,7 @@ def dense_forward_pallas(
     nb = B // tb
 
     qb0, tb0, q_heads_rev, t_tails, k0, k_end, slack = _precompute_streams(
-        qs, ts, qlens, tlens, K, l_pad_eff, d_chunk
+        qs, ts, qlens, tlens, K, l_pad_eff, period
     )
 
     meta_spec = pl.BlockSpec(
@@ -393,7 +484,9 @@ def dense_forward_pallas(
         (tb, K), lambda b, d: (b, 0), memory_space=pltpu.VMEM
     )
     stream_spec = pl.BlockSpec(
-        (tb, d_chunk), lambda b, d: (b, d), memory_space=pltpu.VMEM
+        (tb, period),
+        lambda b, d: (b, (d * d_chunk) // period),
+        memory_space=pltpu.VMEM,
     )
 
     out_shapes = [jax.ShapeDtypeStruct((B, K), jnp.int32)]
@@ -420,7 +513,11 @@ def dense_forward_pallas(
         out_specs += [dummy_spec, dummy_spec]
 
     kernel = functools.partial(
-        _kernel, pen=pen, d_chunk=d_chunk, with_choices=with_choices
+        _kernel,
+        pen=pen,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        stream_period=period,
     )
     outs = pl.pallas_call(
         kernel,
@@ -442,8 +539,8 @@ def dense_forward_pallas(
             pltpu.VMEM((tb, K), jnp.int32),  # D1
             pltpu.VMEM((tb, K), jnp.int32),  # I2
             pltpu.VMEM((tb, K), jnp.int32),  # D2
-            pltpu.VMEM((tb, d_chunk + K), jnp.int32),  # qb ext register
-            pltpu.VMEM((tb, K + d_chunk), jnp.int32),  # tb ext register
+            pltpu.VMEM((tb, period + K), jnp.int32),  # qb ext register
+            pltpu.VMEM((tb, K + period), jnp.int32),  # tb ext register
             pltpu.VMEM((tb, K), jnp.int32),  # runlen
         ],
         interpret=interpret,
@@ -468,7 +565,9 @@ def dense_forward_pallas(
     o_min = min(pen.o1, pen.o2) if pen.two_piece else pen.o1
     e_min = min(pen.e1, pen.e2) if pen.two_piece else pen.e1
     esc = 2 * o_min + 2 * (w + 1) * e_min
-    certificate = (scores < esc) & feasible
+    # full-matrix band == unbanded DP: certify unconditionally
+    full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
+    certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
 
     scores = scores[:B0]
     certificate = certificate[:B0]

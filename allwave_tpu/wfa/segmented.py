@@ -1,0 +1,646 @@
+"""Segmented (checkpoint–replay) dense-band alignment for LONG pairs.
+
+The reference keeps 100 kb+ pairs feasible with biWFA's O(s) memory
+(reference: alignment.rs:265-287, MemoryMode::Ultralow). The TPU-native
+equivalent here keeps the dense banded engine's zero-gather hot loop and
+bounds memory by NOT materializing the (2L, B, K) choice planes at once:
+
+1. SWEEP: one score-only banded pass over all 2L anti-diagonals that
+   snapshots the five DP band vectors every `ckpt_every` steps —
+   O(B * K * 2L/C) checkpoint memory, no choice planes;
+2. REPLAY, backwards segment by segment: re-run the DP for one
+   C-step span from its checkpoint, with choice/run-length planes for
+   just that span (O(C * B * K)), and advance the on-device traceback
+   walkers through it. Identical per-cell arithmetic and tie-breaks to
+   the one-shot engine, so scores and CIGARs are bit-exact; total
+   compute is ~2x the single sweep.
+
+The only intentional divergence from the one-shot planes: the
+match-run-length plane resets at segment boundaries (checkpoints do not
+carry it), so a match run crossing a boundary is emitted as two runs —
+the expanded per-base CIGAR (and therefore the PAF string) is identical.
+
+Both engines are served: impl="xla" (portable scan, CPU tests) and
+impl="pallas" (VMEM-resident TPU kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Penalties
+from .dense import (
+    INF,
+    S_DIAG_MATCH,
+    S_DIAG_MISMATCH,
+    S_I1,
+    S_I2,
+    S_D1,
+    S_D2,
+    _band_geometry,
+)
+from .batch import expand_runs_to_cigar
+
+_OP_M = ord("M")
+_OP_X = ord("X")
+_OP_I = ord("I")
+_OP_D = ord("D")
+
+
+# ---------------------------------------------------------------------------
+# XLA span primitives
+# ---------------------------------------------------------------------------
+
+
+def _base_registers(qs, ts, qlens, k0, K, l_pad, d):
+    """Band base registers at anti-diagonal d (same clip formulas as
+    dense.dense_forward so every active cell agrees bit-for-bit)."""
+    ks = k0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    idx = jnp.arange(l_pad, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(qlens[:, None] - 1 - idx, 0, l_pad - 1)
+    rq = jnp.take_along_axis(qs, rev_idx, axis=1)
+    qi = jnp.clip(qlens[:, None] - ((d - ks) >> 1), 0, l_pad - 1)
+    ti = jnp.clip(((d + ks) >> 1) - 1, 0, l_pad - 1)
+    qb = jnp.take_along_axis(rq, qi, axis=1)
+    tb = jnp.take_along_axis(ts, ti, axis=1)
+    return rq, qb, tb
+
+
+def init_state(B: int, K: int, k0) -> Tuple[jnp.ndarray, ...]:
+    """DP band state at d=0: (S, I1, D1, I2, D2) each (B, K) int32."""
+    ks = k0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    s0 = jnp.where(ks == 0, 0, INF).astype(jnp.int32)
+    gap0 = jnp.full((B, K), INF, jnp.int32)
+    return (s0, gap0, gap0, gap0, gap0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pen", "k_width", "l_pad", "n_steps", "with_choices"),
+)
+def dense_span_xla(
+    qs,
+    ts,
+    qlens,
+    tlens,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    d_lo,  # traced scalar: span covers anti-diagonals d_lo+1 .. d_lo+n_steps
+    n_steps: int,
+    state,  # (S, I1, D1, I2, D2) each (B, K) int32
+    with_choices: bool,
+):
+    """Run n_steps anti-diagonal steps from `state` at d_lo. Returns
+    (state_out, (choices, runs) | None). Identical cell arithmetic to
+    dense.dense_forward (same tie-break contract)."""
+    B = qs.shape[0]
+    K = k_width
+    k_end, k0, slack = _band_geometry(qlens, tlens, K)
+    ks = k0[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    rq, qb, tb = _base_registers(qs, ts, qlens, k0, K, l_pad, d_lo)
+
+    run0 = jnp.zeros((B, K), jnp.uint8)
+    o1e1 = jnp.int32(pen.o1 + pen.e1)
+    e1 = jnp.int32(pen.e1)
+    o2e2 = jnp.int32(pen.o2 + pen.e2) if pen.two_piece else jnp.int32(0)
+    e2 = jnp.int32(pen.e2) if pen.two_piece else jnp.int32(0)
+    x = jnp.int32(pen.x)
+    k0_col = k0
+
+    def step(carry, d):
+        s_prev, i1, d1, i2, d2, qb, tb, runlen = carry
+
+        qi_head = jnp.clip(qlens - ((d - k0_col) >> 1), 0, l_pad - 1)
+        q_head = jnp.take_along_axis(rq, qi_head[:, None], axis=1)
+        qb = jnp.concatenate([q_head, qb[:, :-1]], axis=1)
+        ti_tail = jnp.clip(((d + k0_col + (K - 1)) >> 1) - 1, 0, l_pad - 1)
+        t_tail = jnp.take_along_axis(ts, ti_tail[:, None], axis=1)
+        tb = jnp.concatenate([tb[:, 1:], t_tail], axis=1)
+
+        v = (d - ks) >> 1
+        h = (d + ks) >> 1
+        parity_ok = ((d - ks) & 1) == 0
+        in_matrix = (
+            (v >= 0) & (v <= qlens[:, None]) & (h >= 0) & (h <= tlens[:, None])
+        )
+        active = parity_ok & in_matrix
+
+        def sd(a):  # shift down: out[c] = a[c-1]
+            return jnp.concatenate(
+                [jnp.full((B, 1), INF, a.dtype), a[:, :-1]], 1
+            )
+
+        def su(a):  # shift up: out[c] = a[c+1]
+            return jnp.concatenate(
+                [a[:, 1:], jnp.full((B, 1), INF, a.dtype)], 1
+            )
+
+        s_km1 = sd(s_prev)
+        s_kp1 = su(s_prev)
+        i1_ext_v = sd(i1) + e1
+        i1_opn_v = s_km1 + o1e1
+        i1_new = jnp.minimum(i1_opn_v, i1_ext_v)
+        i1_ext = i1_ext_v <= i1_opn_v
+        d1_ext_v = su(d1) + e1
+        d1_opn_v = s_kp1 + o1e1
+        d1_new = jnp.minimum(d1_opn_v, d1_ext_v)
+        d1_ext = d1_ext_v <= d1_opn_v
+        best_gap = jnp.minimum(i1_new, d1_new)
+        if pen.two_piece:
+            i2_ext_v = sd(i2) + e2
+            i2_opn_v = s_km1 + o2e2
+            i2_new = jnp.minimum(i2_opn_v, i2_ext_v)
+            i2_ext = i2_ext_v <= i2_opn_v
+            d2_ext_v = su(d2) + e2
+            d2_opn_v = s_kp1 + o2e2
+            d2_new = jnp.minimum(d2_opn_v, d2_ext_v)
+            d2_ext = d2_ext_v <= d2_opn_v
+            best_gap = jnp.minimum(best_gap, jnp.minimum(i2_new, d2_new))
+        else:
+            i2_new, d2_new = i2, d2
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+
+        is_match = qb == tb
+        sub_cost = jnp.where(is_match, 0, x)
+        diag_ok = (v > 0) & (h > 0)
+        diag = jnp.where(diag_ok, s_prev + sub_cost, INF)
+        s_new = jnp.minimum(diag, best_gap)
+
+        if with_choices:
+            diag_hit = (diag == s_new) & diag_ok
+            choice = jnp.full((B, K), S_DIAG_MATCH, jnp.uint8)
+            if pen.two_piece:
+                choice = jnp.where(d2_new == s_new, jnp.uint8(S_D2), choice)
+            choice = jnp.where(d1_new == s_new, jnp.uint8(S_D1), choice)
+            if pen.two_piece:
+                choice = jnp.where(i2_new == s_new, jnp.uint8(S_I2), choice)
+            choice = jnp.where(i1_new == s_new, jnp.uint8(S_I1), choice)
+            choice = jnp.where(
+                diag_hit & jnp.logical_not(is_match),
+                jnp.uint8(S_DIAG_MISMATCH),
+                choice,
+            )
+            packed = (
+                choice
+                | (i1_ext.astype(jnp.uint8) << 3)
+                | (d1_ext.astype(jnp.uint8) << 4)
+                | (i2_ext.astype(jnp.uint8) << 5)
+                | (d2_ext.astype(jnp.uint8) << 6)
+            )
+            is_run = choice == jnp.uint8(S_DIAG_MATCH)
+            inc = jnp.minimum(runlen, jnp.uint8(254)) + jnp.uint8(1)
+            new_run = jnp.where(is_run, inc, jnp.uint8(0))
+            y = (packed, new_run)
+        else:
+            new_run = runlen
+            y = (jnp.zeros((B, 1), jnp.uint8), jnp.zeros((B, 1), jnp.uint8))
+
+        clamp = lambda a: jnp.minimum(a, INF)
+        s_out = jnp.where(active, clamp(s_new), s_prev)
+        i1_out = jnp.where(active, clamp(i1_new), i1)
+        d1_out = jnp.where(active, clamp(d1_new), d1)
+        i2_out = jnp.where(active, clamp(i2_new), i2)
+        d2_out = jnp.where(active, clamp(d2_new), d2)
+        run_out = jnp.where(active, new_run, runlen) if with_choices else runlen
+        return (s_out, i1_out, d1_out, i2_out, d2_out, qb, tb, run_out), y
+
+    s0, i10, d10, i20, d20 = state
+    ds = d_lo + 1 + jnp.arange(n_steps, dtype=jnp.int32)
+    carry, (choices, runs) = jax.lax.scan(
+        step, (s0, i10, d10, i20, d20, qb, tb, run0), ds, unroll=4
+    )
+    state_out = carry[:5]
+    return state_out, ((choices, runs) if with_choices else None)
+
+
+def dense_sweep_ckpt(
+    qs,
+    ts,
+    qlens,
+    tlens,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    ckpt_every: int,
+    impl: str = "xla",
+):
+    """Full score-only sweep with band-state checkpoints.
+
+    Returns (scores, certificate, ckpts) where ckpts is a tuple of five
+    (n_seg, B, K) int32 arrays: component states at d = seg*ckpt_every
+    (seg 0 is the d=0 init). n_seg = 2*l_pad / ckpt_every.
+
+    Deliberately NOT jitted as a whole: the python loop reuses ONE
+    compiled span kernel n_seg times (jitting the sweep would inline
+    n_seg copies of the scan and explode compile time)."""
+    B = qs.shape[0]
+    K = k_width
+    D2 = 2 * l_pad
+    assert D2 % ckpt_every == 0
+    n_seg = D2 // ckpt_every
+    k_end, k0, slack = _band_geometry(qlens, tlens, K)
+
+    span = dense_span_pallas if impl == "pallas" else dense_span_xla
+
+    state = init_state(B, K, k0)
+    ckpts = [state]
+    for seg in range(n_seg - 1):
+        state, _ = span(
+            qs,
+            ts,
+            qlens,
+            tlens,
+            pen,
+            K,
+            l_pad,
+            jnp.int32(seg * ckpt_every),
+            ckpt_every,
+            state,
+            False,
+        )
+        ckpts.append(state)
+    state, _ = span(
+        qs,
+        ts,
+        qlens,
+        tlens,
+        pen,
+        K,
+        l_pad,
+        jnp.int32((n_seg - 1) * ckpt_every),
+        ckpt_every,
+        state,
+        False,
+    )
+
+    s_final = state[0]
+    c_end = jnp.clip(k_end - k0, 0, K - 1)
+    scores = jnp.take_along_axis(s_final, c_end[:, None], axis=1)[:, 0]
+    feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= D2)
+    scores = jnp.where(feasible, jnp.minimum(scores, INF), INF)
+
+    w = jnp.maximum(slack, 0)
+    o_min = min(pen.o1, pen.o2) if pen.two_piece else pen.o1
+    e_min = min(pen.e1, pen.e2) if pen.two_piece else pen.e1
+    esc = 2 * o_min + 2 * (w + 1) * e_min
+    # full-matrix band == unbanded DP: certify unconditionally
+    full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
+    certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
+
+    stacked = tuple(
+        jnp.stack([c[comp] for c in ckpts], axis=0) for comp in range(5)
+    )
+    return scores, certificate, stacked
+
+
+def dense_span_pallas(
+    qs, ts, qlens, tlens, pen, k_width, l_pad, d_lo, n_steps, state, with_choices
+):
+    """Pallas variant of dense_span_xla (same contract). Implemented in
+    pallas_dense.py; imported lazily to keep module load cheap."""
+    from .pallas_span import dense_span_pallas as impl
+
+    return impl(
+        qs, ts, qlens, tlens, pen, k_width, l_pad, d_lo, n_steps, state, with_choices
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resumable traceback over one replayed segment
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("pen", "run_cap"))
+def traceback_segment(
+    choices_runs,  # ((n_steps, B, K) uint8 choices, same-shape runs)
+    d_lo,  # traced scalar: plane row r holds anti-diagonal d_lo + r + 1
+    walk,  # (d, c, comp, active) each (B,) int32/bool
+    bufs,  # (ops (B, run_cap) u8, lens (B, run_cap) u8, nrun (B,) i32, overflow (B,) bool)
+    qlens,
+    tlens,
+    pen: Penalties,
+    run_cap: int,
+):
+    """Advance the traceback walkers through one segment's choice
+    planes (same transition rules as dense.dense_traceback). Walkers
+    pause when they step to d <= d_lo (resumed with the previous
+    segment) and finish at d <= 0."""
+    choices, runlens = choices_runs
+    NS, B, K = choices.shape
+    rows = jnp.arange(B, dtype=jnp.int32)
+    flat_choices = choices.reshape(-1)
+    flat_runs = runlens.reshape(-1)
+
+    d0, c0, comp0, alive0 = walk
+    ops, lens, nrun, overflow = bufs
+
+    def fetch(d, c):
+        r = d - d_lo - 1
+        r_ok = (r >= 0) & (r < NS)
+        c_ok = (c >= 0) & (c < K)
+        rr = jnp.clip(r, 0, NS - 1)
+        cc = jnp.clip(c, 0, K - 1)
+        flat = (rr * B + rows) * K + cc
+        byte = jnp.where(r_ok & c_ok, jnp.take(flat_choices, flat), jnp.uint8(0))
+        run = jnp.where(r_ok & c_ok, jnp.take(flat_runs, flat), jnp.uint8(0))
+        return byte, run
+
+    max_iters = 2 * int(NS) + 8
+
+    def cond(carry):
+        d, c, comp, active, ops, lens, nrun, overflow, it = carry
+        return jnp.any(active & (d > d_lo)) & (it < max_iters)
+
+    def body(carry):
+        d, c, comp, active, ops, lens, nrun, overflow, it = carry
+        stepping = active & (d > d_lo)
+        byte, run = fetch(d, c)
+        src = (byte & 7).astype(jnp.int32)
+
+        is_s = comp == 0
+        is_match_run = is_s & (src == S_DIAG_MATCH)
+        is_x = is_s & (src == S_DIAG_MISMATCH)
+        run_i = jnp.maximum(run.astype(jnp.int32), 1)
+
+        to_gap = jnp.where(
+            src == S_I1, 1, jnp.where(src == S_D1, 2, jnp.where(src == S_I2, 3, 4))
+        )
+        is_i = (comp == 1) | (comp == 3)
+        is_d = (comp == 2) | (comp == 4)
+        ext_bit = jnp.where(
+            comp == 1,
+            (byte >> 3) & 1,
+            jnp.where(
+                comp == 2,
+                (byte >> 4) & 1,
+                jnp.where(comp == 3, (byte >> 5) & 1, (byte >> 6) & 1),
+            ),
+        ).astype(jnp.bool_)
+
+        emit_op = jnp.where(
+            is_match_run,
+            jnp.uint8(_OP_M),
+            jnp.where(
+                is_x,
+                jnp.uint8(_OP_X),
+                jnp.where(is_i, jnp.uint8(_OP_I), jnp.uint8(_OP_D)),
+            ),
+        )
+        emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.uint8)
+        do_emit = stepping & (is_match_run | is_x | is_i | is_d)
+        idx = jnp.clip(nrun, 0, run_cap - 1)
+        ops = ops.at[rows, idx].set(jnp.where(do_emit, emit_op, ops[rows, idx]))
+        lens = lens.at[rows, idx].set(
+            jnp.where(do_emit, emit_len, lens[rows, idx])
+        )
+        nrun = nrun + do_emit.astype(jnp.int32)
+
+        d_s = jnp.where(is_match_run, d - 2 * run_i, jnp.where(is_x, d - 2, d))
+        comp_s = jnp.where(is_match_run | is_x, 0, to_gap)
+        d_g = d - 1
+        c_g = jnp.where(is_i, c - 1, c + 1)
+        comp_g = jnp.where(ext_bit, comp, 0)
+
+        new_d = jnp.where(is_s, d_s, d_g)
+        new_c = jnp.where(is_s, c, c_g)
+        new_comp = jnp.where(is_s, comp_s, comp_g)
+
+        overflow = overflow | (stepping & (nrun >= run_cap))
+        finished = stepping & (new_d <= 0)
+        active = active & (~finished) & (~overflow)
+
+        d = jnp.where(stepping, new_d, d)
+        c = jnp.where(stepping, new_c, c)
+        comp = jnp.where(stepping, new_comp, comp)
+        return (d, c, comp, active, ops, lens, nrun, overflow, it + 1)
+
+    carry = (d0, c0, comp0, alive0, ops, lens, nrun, overflow, jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    d, c, comp, active, ops, lens, nrun, overflow, _ = carry
+    return (d, c, comp, active), (ops, lens, nrun, overflow)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SegmentedConfig:
+    k_initial: int = 128
+    k_max: int = 1 << 14
+    #: anti-diagonal steps per checkpoint segment
+    ckpt_every: int = 4096
+    #: memory budget for one segment's choice+run planes
+    seg_budget_bytes: int = 2 << 30
+    max_batch: int = 256
+    #: forward engine: None = auto (pallas on TPU, xla elsewhere)
+    impl: Optional[str] = None
+
+
+class SegmentedDenseAligner:
+    """Long-pair aligner: bit-exact dense banded alignment in O(K * 2L/C)
+    checkpoint memory instead of O(2L * K) choice planes."""
+
+    def __init__(self, pen: Penalties, config: Optional[SegmentedConfig] = None):
+        from ..utils.jaxcache import enable_compilation_cache
+        from .dense_engine import _auto_impl
+
+        enable_compilation_cache()
+        self.pen = pen
+        self.config = config or SegmentedConfig()
+        self.impl = self.config.impl or _auto_impl()
+
+    @staticmethod
+    def _next_pow2(n: int) -> int:
+        return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
+
+    def _round_k(self, k: int) -> int:
+        k = self._next_pow2(k)
+        if self.impl == "pallas":
+            k = max(k, 128)
+        return k
+
+    def _k_for_score(self, sigma: int, kend_abs: int) -> int:
+        o_min = min(self.pen.o1, self.pen.o2) if self.pen.two_piece else self.pen.o1
+        e_min = min(self.pen.e1, self.pen.e2) if self.pen.two_piece else self.pen.e1
+        w = (sigma - 2 * o_min) // (2 * e_min) + 1
+        k = kend_abs + 2 * max(w, 0) + 3
+        return min(self._round_k(max(k, self.config.k_initial)), self.config.k_max)
+
+    def _prepare(self, sub: List[Tuple[bytes, bytes]], l_pad: int):
+        qlens = np.array([len(q) for q, _ in sub], dtype=np.int32)
+        tlens = np.array([len(t) for _, t in sub], dtype=np.int32)
+        qs = np.zeros((len(sub), l_pad), dtype=np.uint8)
+        ts = np.zeros((len(sub), l_pad), dtype=np.uint8)
+        for r, (q, t) in enumerate(sub):
+            qs[r, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+            ts[r, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+        return (
+            jnp.asarray(qs),
+            jnp.asarray(ts),
+            jnp.asarray(qlens),
+            jnp.asarray(tlens),
+        )
+
+    def align_pairs(
+        self, pairs: List[Tuple[bytes, bytes]]
+    ) -> List[Optional[Tuple[int, np.ndarray]]]:
+        n = len(pairs)
+        results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
+        if n == 0:
+            return results
+        max_len = max(max(len(q), len(t)) for q, t in pairs)
+        l_pad = self._next_pow2(max(max_len, 4))
+        C = min(self.config.ckpt_every, 2 * l_pad)
+        max_kend = max(abs(len(t) - len(q)) for q, t in pairs)
+
+        k0 = max(
+            self._round_k(self.config.k_initial), self._round_k(max_kend + 2)
+        )
+        k_full = self._round_k(
+            max(max(len(q) + len(t) for q, t in pairs) + 1, 2)
+        )
+        k0 = min(k0, k_full)
+        rounds: Dict[int, List[int]] = {k0: list(range(n))}
+        while rounds:
+            k = min(rounds)
+            idxs = rounds.pop(k)
+            if k > self.config.k_max:
+                continue
+            per_pair = 2 * C * k  # one segment's choices+runs
+            bsz = int(
+                max(
+                    1,
+                    min(
+                        self.config.seg_budget_bytes // per_pair,
+                        self.config.max_batch,
+                    ),
+                )
+            )
+            idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+            for lo in range(0, len(idxs), bsz):
+                group = idxs[lo : lo + bsz]
+                esc = self._run_group(pairs, group, results, k, l_pad, C)
+                for i, kk in esc:
+                    rounds.setdefault(kk, []).append(i)
+        return results
+
+    def _run_group(
+        self, pairs, group, results, k, l_pad, C
+    ) -> List[Tuple[int, int]]:
+        b_pad = self._next_pow2(len(group))
+        sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
+        qs, ts, qlens, tlens = self._prepare(sub, l_pad)
+        B = b_pad
+        K = k
+
+        impl = self.impl
+        if impl == "pallas":
+            from .pallas_dense import K_MAX
+
+            if k > K_MAX:  # beyond the VMEM ceiling; rare escalations
+                impl = "xla"
+        scores_d, cert_d, ckpts = dense_sweep_ckpt(
+            qs, ts, qlens, tlens, self.pen, K, l_pad, C, impl
+        )
+        scores = np.asarray(scores_d)
+        cert = np.asarray(cert_d)
+
+        escalate: List[Tuple[int, int]] = []
+        any_good = False
+        for j, i in enumerate(group):
+            if not cert[j]:
+                kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                if scores[j] < INF:
+                    nk = max(self._k_for_score(int(scores[j]), kend_abs), 2 * k)
+                else:
+                    nk = 2 * k
+                k_full = self._round_k(
+                    len(pairs[i][0]) + len(pairs[i][1]) + 1
+                )
+                nk = min(nk, max(k_full, 2 * k))
+                escalate.append((i, nk))
+            else:
+                any_good = True
+        if not any_good:
+            return escalate
+
+        # walkers: start at the end cell of each certified pair
+        k_end, k0_arr, _ = _band_geometry(qlens, tlens, K)
+        d = (qlens + tlens).astype(jnp.int32)
+        c = jnp.clip(k_end - k0_arr, 0, K - 1).astype(jnp.int32)
+        comp = jnp.zeros((B,), jnp.int32)
+        alive = jnp.asarray(cert_d) & (d > 0)
+        run_cap = self._run_cap(l_pad)
+        ops = jnp.zeros((B, run_cap), jnp.uint8)
+        lens = jnp.zeros((B, run_cap), jnp.uint8)
+        nrun = jnp.zeros((B,), jnp.int32)
+        overflow = jnp.zeros((B,), jnp.bool_)
+        walk = (d, c, comp, alive)
+        bufs = (ops, lens, nrun, overflow)
+
+        span = dense_span_pallas if impl == "pallas" else dense_span_xla
+        n_seg = (2 * l_pad) // C
+        d_np = np.asarray(d)
+        for seg in range(n_seg - 1, -1, -1):
+            d_lo = seg * C
+            # skip segments entirely above every walker's position
+            if seg > 0 and not (d_np > d_lo).any():
+                continue
+            state = tuple(comp_arr[seg] for comp_arr in ckpts)
+            _, planes = span(
+                qs,
+                ts,
+                qlens,
+                tlens,
+                self.pen,
+                K,
+                l_pad,
+                jnp.int32(d_lo),
+                C,
+                state,
+                True,
+            )
+            walk, bufs = traceback_segment(
+                planes,
+                jnp.int32(d_lo),
+                walk,
+                bufs,
+                qlens,
+                tlens,
+                self.pen,
+                run_cap,
+            )
+            d_np = np.asarray(walk[0])
+            if not np.asarray(walk[3]).any():
+                break
+
+        ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
+        still_active = np.asarray(walk[3])
+        overflow = overflow | still_active
+        for j, i in enumerate(group):
+            if not cert[j]:
+                continue
+            if overflow[j]:
+                results[i] = None
+                continue
+            cigar = expand_runs_to_cigar(
+                ops[j], lens[j].astype(np.int64), int(nrun[j])
+            )
+            results[i] = (int(scores[j]), cigar)
+        return escalate
+
+    def _run_cap(self, l_pad: int) -> int:
+        # every <=255-base match stretch is one run; mutations add runs.
+        # 2L/64 covers pure-match CIGARs 16x over; generous but small
+        # (uint8 buffers)
+        return max(2048, (2 * l_pad) // 64)

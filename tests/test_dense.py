@@ -159,3 +159,63 @@ def test_align_pairs_with_stats_matches_cigar_reductions():
         [r[1] if r is not None else np.zeros(0, np.uint8) for r in results]
     )
     np.testing.assert_array_equal(stats, expect)
+
+
+def test_segmented_engine_matches_one_shot():
+    """Checkpoint-replay segmented alignment (tiny segments to force
+    many boundary crossings) is bit-exact vs the one-shot engine."""
+    import numpy as np
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
+    from allwave_tpu.wfa.params import resolve_penalties
+    from allwave_tpu.wfa.segmented import (
+        SegmentedConfig,
+        SegmentedDenseAligner,
+    )
+
+    rng = np.random.RandomState(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for scores_str in ("0,5,8,2,24,1", "0,4,6,2"):
+        pen = resolve_penalties(parse_scores(scores_str))
+        pairs = []
+        for _ in range(5):
+            L = rng.randint(300, 900)
+            q = rng.choice(bases, L)
+            t = q.copy()
+            mut = rng.rand(L) < 0.03
+            t[mut] = rng.choice(bases, mut.sum())
+            t = np.concatenate([t[:100], t[103:]])
+            t = np.concatenate([t[:50], rng.choice(bases, 4), t[50:]])
+            pairs.append((q.tobytes(), t.tobytes()))
+        seg = SegmentedDenseAligner(
+            pen, SegmentedConfig(ckpt_every=128, impl="xla")
+        )
+        one = DenseBandAligner(pen, DenseConfig(impl="xla"))
+        a = seg.align_pairs(pairs)
+        b = one.align_pairs(pairs)
+        for x, y in zip(a, b):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert x[0] == y[0]
+                np.testing.assert_array_equal(x[1], y[1])
+
+
+def test_full_cover_band_certifies():
+    """A band covering the whole DP matrix must certify even when the
+    score exceeds the exit-and-return bound (highly divergent pair)."""
+    import numpy as np
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
+    from allwave_tpu.wfa.params import resolve_penalties
+
+    rng = np.random.RandomState(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    q = rng.choice(bases, 200).tobytes()
+    t = rng.choice(bases, 190).tobytes()  # unrelated: score ~ L*x
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    al = DenseBandAligner(pen, DenseConfig(impl="xla"))
+    (res,) = al.align_pairs([(q, t)])
+    assert res is not None
+    from allwave_tpu.core.cigar import validate_cigar
+
+    validate_cigar(res[1], q, t)
