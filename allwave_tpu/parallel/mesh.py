@@ -95,3 +95,44 @@ def sharded_alignment_step(mesh, pen, s_cap: int, k_width: int):
         in_shardings=(in_s2, in_s2, in_s1, in_s1),
         out_shardings=out_s,
     )
+
+
+def sharded_dense_step(
+    mesh, pen, k_width: int, l_pad: int, run_cap: int, impl: str = "xla"
+):
+    """Data-parallel dense alignment step over the mesh's "data" axis —
+    the production parallelism plan of SURVEY.md §2.4: the unique-
+    sequence pool is REPLICATED on every device (pangenome sets fit in
+    HBM) and the pair-index stream is SHARDED, so each device runs the
+    fused forward+traceback kernel on its own pair shard with zero
+    inter-device traffic in the hot loop (the per-host PAF shards are
+    merged downstream; see parallel.dist).
+
+    Built with shard_map so the per-shard body can be the Pallas kernel
+    (GSPMD cannot partition a pallas_call). Returns
+    fn(pool, qidx, tidx, qlens, tlens) -> packed (B, 16+2*run_cap) u8
+    with the dense_align_packed row layout."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..wfa import dense as D_
+
+    def local(pool, qidx, tidx, qlens, tlens):
+        return D_.dense_align_packed(
+            pool, qidx, tidx, qlens, tlens, pen, k_width, l_pad, run_cap, impl
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),  # sequence pool: replicated
+            P("data"),
+            P("data"),
+            P("data"),
+            P("data"),
+        ),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    return jax.jit(fn)
