@@ -208,8 +208,9 @@ def run_dp_chunk(
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
     k0 = k0_ref[:, :1]
     ks = k0 + lane
-    qlen = qlens_ref[:, :1]
-    tlen = tlens_ref[:, :1]
+    ks1 = ks & 1  # hoisted: parity mask base
+    q2 = 2 * qlens_ref[:, :1]
+    t2 = 2 * tlens_ref[:, :1]
     inf = jnp.int32(INF)
 
     # (re)load the stream window into the extended registers whenever a
@@ -240,11 +241,13 @@ def run_dp_chunk(
         qb = qb_ext[:, W:]
         tb = tb_ext[:, :K]
 
-        v = (d - ks) >> 1
-        h = (d + ks) >> 1
-        parity_ok = ((d - ks) & 1) == 0
-        in_matrix = (v >= 0) & (v <= qlen) & (h >= 0) & (h <= tlen)
-        active = parity_ok & in_matrix
+        # masks as lane-vs-scalar bounds instead of recomputing v/h per
+        # step (bit-equivalent on the even-parity lanes `active` keeps:
+        # v>=0 <=> ks<=d; v<=qlen <=> ks>=d-2q (given parity); h>=0 <=>
+        # ks>=-d; h<=tlen <=> ks<=2t-d; v>0 <=> ks<=d-2; h>0 <=> ks>=2-d)
+        lo = jnp.maximum(d - q2, -d)  # (TB, 1)
+        hi = jnp.minimum(t2 - d, d)
+        active = (ks1 == (d & 1)) & (ks >= lo) & (ks <= hi)
 
         s_prev = s_ref[:]
         s_km1 = jnp.where(lane == 0, inf, pltpu.roll(s_prev, shift=1, axis=1))
@@ -297,7 +300,7 @@ def run_dp_chunk(
 
         is_match = qb == tb
         sub_cost = jnp.where(is_match, 0, x)
-        diag_ok = (v > 0) & (h > 0)
+        diag_ok = (ks <= d - 2) & (ks >= 2 - d)
         diag = jnp.where(diag_ok, s_prev + sub_cost, inf)
         s_new = jnp.minimum(diag, best_gap)
 
@@ -332,13 +335,12 @@ def run_dp_chunk(
             runs_ref[j] = new_run.astype(jnp.uint8)
             run_ref[:] = jnp.where(active, new_run, runlen)
 
-        clamp = lambda a: jnp.minimum(a, inf)
-        s_ref[:] = jnp.where(active, clamp(s_new), s_prev)
-        i1_ref[:] = jnp.where(active, clamp(i1_new), i1_ref[:])
-        d1_ref[:] = jnp.where(active, clamp(d1_new), d1_ref[:])
+        s_ref[:] = jnp.where(active, s_new, s_prev)
+        i1_ref[:] = jnp.where(active, i1_new, i1_ref[:])
+        d1_ref[:] = jnp.where(active, d1_new, d1_ref[:])
         if pen.two_piece:
-            i2_ref[:] = jnp.where(active, clamp(i2_new), i2_ref[:])
-            d2_ref[:] = jnp.where(active, clamp(d2_new), d2_ref[:])
+            i2_ref[:] = jnp.where(active, i2_new, i2_ref[:])
+            d2_ref[:] = jnp.where(active, d2_new, d2_ref[:])
         return 0
 
     # manual 2x unroll (Mosaic's fori_loop supports only unroll=1 or
@@ -349,6 +351,18 @@ def run_dp_chunk(
         return 0
 
     jax.lax.fori_loop(0, d_chunk // 2, _step2, 0)
+
+    # overflow clamp ONCE per chunk instead of per step: unreachable
+    # values only grow from INF by <= max_penalty per step (< 2^31 over
+    # any chunk), reachable values never exceed (q+t)*max_penalty << INF,
+    # and min(x, INF) here restores exactly the per-step-clamped state
+    # the XLA engine produces (every >=INF value began as INF)
+    s_ref[:] = jnp.minimum(s_ref[:], inf)
+    i1_ref[:] = jnp.minimum(i1_ref[:], inf)
+    d1_ref[:] = jnp.minimum(d1_ref[:], inf)
+    if pen.two_piece:
+        i2_ref[:] = jnp.minimum(i2_ref[:], inf)
+        d2_ref[:] = jnp.minimum(d2_ref[:], inf)
 
 
 def _kernel(
