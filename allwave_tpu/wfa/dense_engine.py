@@ -77,11 +77,14 @@ class DenseBandAligner:
 
     def _k_for_score(self, sigma: int, kend_abs: int) -> int:
         """Smallest accepted band width whose exit-and-return
-        certificate holds for a banded score sigma:
-        2*o_min + 2*(W+1)*e_min > sigma."""
-        o_min = min(self.pen.o1, self.pen.o2) if self.pen.two_piece else self.pen.o1
-        e_min = min(self.pen.e1, self.pen.e2) if self.pen.two_piece else self.pen.e1
-        w = (sigma - 2 * o_min) // (2 * e_min) + 1
+        certificate holds for a banded score sigma: the bound is
+        2*g(W+1) with g(n) = min(o1+n*e1, o2+n*e2), so we need the
+        minimal n with g(n) >= sigma//2 + 1 on BOTH pieces."""
+        t = sigma // 2 + 1
+        n = max(1, -(-(t - self.pen.o1) // self.pen.e1))
+        if self.pen.two_piece:
+            n = max(n, -(-(t - self.pen.o2) // self.pen.e2))
+        w = n - 1
         k = kend_abs + 2 * max(w, 0) + 3
         return min(
             self._round_k(max(k, self.config.k_initial)), self.config.k_max

@@ -576,9 +576,15 @@ def dense_forward_pallas(
     scores = jnp.minimum(scores, INF)
 
     w = jnp.maximum(slack, 0)
-    o_min = min(pen.o1, pen.o2) if pen.two_piece else pen.o1
-    e_min = min(pen.e1, pen.e2) if pen.two_piece else pen.e1
-    esc = 2 * o_min + 2 * (w + 1) * e_min
+    # exit-and-return bound: a band-escaping global path needs >= W+1
+    # gap bases on the way out AND >= W+1 on the way back, each side
+    # costing at least g(W+1) = min(o1+(W+1)e1, o2+(W+1)e2) no matter
+    # how the bases split into runs (more runs = more opens)
+    n = w + 1
+    esc = 2 * jnp.minimum(
+        pen.o1 + n * pen.e1,
+        (pen.o2 + n * pen.e2) if pen.two_piece else pen.o1 + n * pen.e1,
+    )
     # full-matrix band == unbanded DP: certify unconditionally
     full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
     certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)

@@ -288,9 +288,15 @@ def dense_sweep_ckpt(
     scores = jnp.where(feasible, jnp.minimum(scores, INF), INF)
 
     w = jnp.maximum(slack, 0)
-    o_min = min(pen.o1, pen.o2) if pen.two_piece else pen.o1
-    e_min = min(pen.e1, pen.e2) if pen.two_piece else pen.e1
-    esc = 2 * o_min + 2 * (w + 1) * e_min
+    # exit-and-return bound: a band-escaping global path needs >= W+1
+    # gap bases on the way out AND >= W+1 on the way back, each side
+    # costing at least g(W+1) = min(o1+(W+1)e1, o2+(W+1)e2) no matter
+    # how the bases split into runs (more runs = more opens)
+    n = w + 1
+    esc = 2 * jnp.minimum(
+        pen.o1 + n * pen.e1,
+        (pen.o2 + n * pen.e2) if pen.two_piece else pen.o1 + n * pen.e1,
+    )
     # full-matrix band == unbanded DP: certify unconditionally
     full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
     certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
@@ -470,11 +476,19 @@ class SegmentedDenseAligner:
         return k
 
     def _k_for_score(self, sigma: int, kend_abs: int) -> int:
-        o_min = min(self.pen.o1, self.pen.o2) if self.pen.two_piece else self.pen.o1
-        e_min = min(self.pen.e1, self.pen.e2) if self.pen.two_piece else self.pen.e1
-        w = (sigma - 2 * o_min) // (2 * e_min) + 1
+        """Smallest accepted band width whose exit-and-return
+        certificate holds for a banded score sigma: the bound is
+        2*g(W+1) with g(n) = min(o1+n*e1, o2+n*e2), so we need the
+        minimal n with g(n) >= sigma//2 + 1 on BOTH pieces."""
+        t = sigma // 2 + 1
+        n = max(1, -(-(t - self.pen.o1) // self.pen.e1))
+        if self.pen.two_piece:
+            n = max(n, -(-(t - self.pen.o2) // self.pen.e2))
+        w = n - 1
         k = kend_abs + 2 * max(w, 0) + 3
-        return min(self._round_k(max(k, self.config.k_initial)), self.config.k_max)
+        return min(
+            self._round_k(max(k, self.config.k_initial)), self.config.k_max
+        )
 
     def _prepare(self, sub: List[Tuple[bytes, bytes]], l_pad: int):
         qlens = np.array([len(q) for q, _ in sub], dtype=np.int32)
