@@ -130,16 +130,33 @@ class AllPairAligner:
 
     # -- orientation -------------------------------------------------------
 
-    def _orient_chunk(
-        self, chunk: np.ndarray
-    ) -> Tuple[List[bytes], List[bytes], List[bool]]:
-        """Oriented query bytes / target bytes / is_reverse per pair."""
+    def _orient_chunk(self, chunk: np.ndarray):
+        """Oriented query bytes / target bytes / is_reverse per pair,
+        plus per-pair estimated alignment scores from the mash distances
+        (None for the WFA-orientation mode) used as band-width hints."""
         qs: List[bytes] = []
         ts: List[bytes] = []
         revs: List[bool] = []
+        sigma_hint = None
         if self.use_mash_orientation:
             rev_arr = self._orient.orient_batch(chunk)
+            dists = self._orient.distance_batch(chunk)
             revs = [bool(r) for r in rev_arr]
+            lens = np.array(
+                [
+                    max(
+                        len(self.sequences[int(i)].seq),
+                        len(self.sequences[int(j)].seq),
+                    )
+                    for i, j in chunk
+                ],
+                dtype=np.float64,
+            )
+            # expected score ~ divergence * length * mismatch penalty
+            # (+32 for sketch noise / small indels). A low estimate only
+            # costs one escalation round; results stay exact either way.
+            x = float(self.params.mismatch_penalty)
+            sigma_hint = (dists * lens * x + 32).astype(np.int64)
             for (i, j), is_rev in zip(chunk, revs):
                 qs.append(
                     self._orient.rc(int(i))
@@ -157,7 +174,7 @@ class AllPairAligner:
                 )
                 qs.append(q)
                 ts.append(self.sequences[int(j)].seq)
-        return qs, ts, revs
+        return qs, ts, revs, sigma_hint
 
     def _orient_wfa(self, chunk: np.ndarray) -> List[bool]:
         """WFA-edit-distance orientation (reference: alignment.rs:157-175):
@@ -191,8 +208,10 @@ class AllPairAligner:
         pairs = self.pairs
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
-            qs, ts, revs = self._orient_chunk(chunk)
-            aligned, stats = eng.align_pairs(list(zip(qs, ts)), with_stats=True)
+            qs, ts, revs, sigma_hint = self._orient_chunk(chunk)
+            aligned, stats = eng.align_pairs(
+                list(zip(qs, ts)), with_stats=True, sigma_hint=sigma_hint
+            )
             for (i, j), is_rev, res, st in zip(chunk, revs, aligned, stats):
                 if res is None:
                     result = AlignmentResult.failed(int(i), int(j), is_rev)
@@ -212,8 +231,10 @@ class AllPairAligner:
         pairs = self.pairs
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
-            qs, ts, revs = self._orient_chunk(chunk)
-            aligned, stats = eng.align_pairs(list(zip(qs, ts)), with_stats=True)
+            qs, ts, revs, sigma_hint = self._orient_chunk(chunk)
+            aligned, stats = eng.align_pairs(
+                list(zip(qs, ts)), with_stats=True, sigma_hint=sigma_hint
+            )
             for (i, j), is_rev, res, st in zip(chunk, revs, aligned, stats):
                 if res is None:
                     yield AlignmentResult.failed(int(i), int(j), is_rev)

@@ -131,6 +131,7 @@ class OrientationIndex:
             return bits.sum(axis=0, dtype=np.int64)
 
         decisions = np.zeros((n, n), dtype=bool)
+        best_j = np.zeros((n, n), dtype=np.float64)
         for i in range(n):
             fi = counts_vs_all_targets(offs[i], offs[i + 1])
             ri = counts_vs_all_targets(offs[n + i], offs[n + i + 1])
@@ -139,6 +140,17 @@ class OrientationIndex:
             fwd_j = np.where(fu > 0, fi / np.maximum(fu, 1), 0.0)
             rev_j = np.where(ru > 0, ri / np.maximum(ru, 1), 0.0)
             decisions[i] = ~(fwd_j >= rev_j)
+            best_j[i] = np.maximum(fwd_j, rev_j)
+        # mash distance of the chosen orientation (reference formula,
+        # mash.rs:59-74) — used downstream as a band-width hint
+        with np.errstate(divide="ignore"):
+            dist = np.where(
+                best_j > 0,
+                -np.log(np.maximum(2 * best_j / (1 + best_j), 1e-300))
+                / self.k,
+                1.0,
+            )
+        self._distances = np.minimum(dist, 1.0)
         return decisions
 
     def orient_batch(self, idx_pairs) -> np.ndarray:
@@ -148,6 +160,15 @@ class OrientationIndex:
             self._decisions = self._decision_matrix()
         idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
         return self._decisions[idx[:, 0], idx[:, 1]]
+
+    def distance_batch(self, idx_pairs) -> np.ndarray:
+        """Mash distance estimates for (query_idx, target_idx) pairs in
+        the chosen orientation — a free by-product of orient_batch, used
+        to pick each pair's initial band width."""
+        if getattr(self, "_decisions", None) is None:
+            self._decisions = self._decision_matrix()
+        idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
+        return self._distances[idx[:, 0], idx[:, 1]]
 
 
 def _jaccard_sets(s1: np.ndarray, s2: np.ndarray) -> float:

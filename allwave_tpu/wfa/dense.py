@@ -382,17 +382,15 @@ def dense_traceback(
     k_end, k0, _ = _band_geometry(qlens, tlens, K)
     rows = jnp.arange(B, dtype=jnp.int32)
 
-    flat_choices = choices.reshape(-1)
-    flat_runs = runlens.reshape(-1)
-
     def fetch(d, c):
+        # 3D advanced indexing, NOT a flattened take: D2*B*K exceeds
+        # int32 for large banded batches and x64 is disabled
         d_ok = (d >= 1) & (d <= D2)
         c_ok = (c >= 0) & (c < K)
         dd = jnp.clip(d - 1, 0, D2 - 1)
         cc = jnp.clip(c, 0, K - 1)
-        flat = (dd * B + rows) * K + cc
-        byte = jnp.where(d_ok & c_ok, jnp.take(flat_choices, flat), jnp.uint8(0))
-        run = jnp.where(d_ok & c_ok, jnp.take(flat_runs, flat), jnp.uint8(0))
+        byte = jnp.where(d_ok & c_ok, choices[dd, rows, cc], jnp.uint8(0))
+        run = jnp.where(d_ok & c_ok, runlens[dd, rows, cc], jnp.uint8(0))
         return byte, run
 
     # lens fit uint8: match runs are bulk-capped at 255, X/gap runs are 1

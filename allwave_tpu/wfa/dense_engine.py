@@ -119,12 +119,20 @@ class DenseBandAligner:
         )
 
     def align_pairs(
-        self, pairs: List[Tuple[bytes, bytes]], with_stats: bool = False
+        self,
+        pairs: List[Tuple[bytes, bytes]],
+        with_stats: bool = False,
+        sigma_hint=None,
     ):
         """[(score, cigar)] in input order (None = failed). With
         with_stats=True also returns an (n, 4) int64 array of
         [num_matches, alignment_length, query_len, target_len] computed
-        vectorized from the run buffers (zeros for failed rows)."""
+        vectorized from the run buffers (zeros for failed rows).
+
+        sigma_hint: optional per-pair estimated alignment scores (e.g.
+        from mash distances) — each pair starts at the band width its
+        estimate certifies instead of one global initial K. Wrong hints
+        only cost an escalation round; results stay exact."""
         n = len(pairs)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
         stats = np.zeros((n, 4), dtype=np.int64)
@@ -150,7 +158,26 @@ class DenseBandAligner:
         # certificate failures jump straight to the band their banded
         # score certifies (or double, if unreachable); run-buffer
         # overflows rerun at the full cap
-        rounds: Dict[Tuple[int, int], List[int]] = {(k0, cap0): list(range(n))}
+        if sigma_hint is None:
+            rounds: Dict[Tuple[int, int], List[int]] = {
+                (k0, cap0): list(range(n))
+            }
+        else:
+            rounds = {}
+            for i in range(n):
+                kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                ki = max(
+                    self._k_for_score(int(sigma_hint[i]), kend_abs),
+                    self._round_k(self.config.k_initial),
+                    self._round_k(kend_abs + 2),
+                )
+                ki = min(
+                    ki,
+                    self._round_k(
+                        len(pairs[i][0]) + len(pairs[i][1]) + 1
+                    ),
+                )
+                rounds.setdefault((ki, cap0), []).append(i)
         while rounds:
             k, cap = min(rounds)
             idxs = rounds.pop((k, cap))
@@ -280,7 +307,10 @@ class UnifiedAligner:
         self.wavefront = BatchWavefrontAligner(pen, wavefront_config)
 
     def align_pairs(
-        self, pairs: List[Tuple[bytes, bytes]], with_stats: bool = False
+        self,
+        pairs: List[Tuple[bytes, bytes]],
+        with_stats: bool = False,
+        sigma_hint=None,
     ):
         n = len(pairs)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
@@ -304,7 +334,14 @@ class UnifiedAligner:
                 by_pad.setdefault(pad, []).append(i)
             for pad, idxs in sorted(by_pad.items()):
                 sub = [pairs[i] for i in idxs]
-                out, st = self.dense.align_pairs(sub, with_stats=True)
+                hint = (
+                    [sigma_hint[i] for i in idxs]
+                    if sigma_hint is not None
+                    else None
+                )
+                out, st = self.dense.align_pairs(
+                    sub, with_stats=True, sigma_hint=hint
+                )
                 for row, (i, r) in enumerate(zip(idxs, out)):
                     results[i] = r
                     stats[i] = st[row]

@@ -342,21 +342,20 @@ def traceback_segment(
     choices, runlens = choices_runs
     NS, B, K = choices.shape
     rows = jnp.arange(B, dtype=jnp.int32)
-    flat_choices = choices.reshape(-1)
-    flat_runs = runlens.reshape(-1)
 
     d0, c0, comp0, alive0 = walk
     ops, lens, nrun, overflow = bufs
 
     def fetch(d, c):
+        # 3D advanced indexing, NOT a flattened take: NS*B*K exceeds
+        # int32 for large banded batches and x64 is disabled
         r = d - d_lo - 1
         r_ok = (r >= 0) & (r < NS)
         c_ok = (c >= 0) & (c < K)
         rr = jnp.clip(r, 0, NS - 1)
         cc = jnp.clip(c, 0, K - 1)
-        flat = (rr * B + rows) * K + cc
-        byte = jnp.where(r_ok & c_ok, jnp.take(flat_choices, flat), jnp.uint8(0))
-        run = jnp.where(r_ok & c_ok, jnp.take(flat_runs, flat), jnp.uint8(0))
+        byte = jnp.where(r_ok & c_ok, choices[rr, rows, cc], jnp.uint8(0))
+        run = jnp.where(r_ok & c_ok, runlens[rr, rows, cc], jnp.uint8(0))
         return byte, run
 
     max_iters = 2 * int(NS) + 8
