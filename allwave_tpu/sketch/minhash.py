@@ -135,25 +135,59 @@ class KmerSketch:
         return mash_distance_from_jaccard(self.jaccard(other), self.k)
 
 
+def pairwise_intersection_counts(sketches: List[np.ndarray]) -> np.ndarray:
+    """(n, n) int64 intersection counts between deduplicated sketches.
+
+    One global dense-id pass + a value->sketch bitmap (the same scheme
+    as orient.OrientationIndex._decision_matrix): per sketch the counts
+    against ALL others come from a row-take + unpackbits + column sum —
+    no per-pair set operations (np.intersect1d per pair re-sorts both
+    arrays every call and made tree: sparsification O(n^2) slow)."""
+    n = len(sketches)
+    counts = np.zeros((n, n), dtype=np.int64)
+    if n == 0:
+        return counts
+    sizes = np.array([s.size for s in sketches], dtype=np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        return counts
+    all_vals = np.concatenate(sketches)
+    uniq, inv = np.unique(all_vals, return_inverse=True)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    nbytes = (n + 7) // 8
+    bitmap = np.zeros((uniq.size, nbytes), dtype=np.uint8)
+    for j in range(n):
+        rows = inv[offs[j] : offs[j + 1]]
+        np.bitwise_or.at(bitmap[:, j >> 3], rows, np.uint8(1 << (j & 7)))
+    for i in range(n):
+        rows = inv[offs[i] : offs[i + 1]]
+        if rows.size == 0:
+            continue
+        bits = np.unpackbits(bitmap[rows], axis=1, count=n, bitorder="little")
+        counts[i] = bits.sum(axis=0, dtype=np.int64)
+    return counts
+
+
 def compute_distance_matrix_with_params(
     sequences: PySequence[Sequence],
     k: int = DEFAULT_KMER_SIZE,
     sketch_size: int = DEFAULT_SKETCH_SIZE,
 ) -> np.ndarray:
     """All-vs-all symmetric mash distance matrix
-    (reference: mash.rs:141-165)."""
+    (reference: mash.rs:141-165). Same float64 Jaccard/distance values
+    as the per-pair path, computed with one bitmap-intersection pass."""
     n = len(sequences)
     sketches: List[np.ndarray] = [
         np.unique(sketch_canonical(s.seq, k, sketch_size)) for s in sequences
     ]
+    sizes = np.array([s.size for s in sketches], dtype=np.int64)
+    inter = pairwise_intersection_counts(sketches)
+    union = sizes[:, None] + sizes[None, :] - inter
     matrix = np.zeros((n, n), dtype=np.float64)
     for i in range(n):
-        si = sketches[i]
         for j in range(i + 1, n):
-            sj = sketches[j]
-            inter = np.intersect1d(si, sj, assume_unique=True).size
-            union = si.size + sj.size - inter
-            jac = inter / union if union > 0 else 0.0
+            jac = inter[i, j] / union[i, j] if union[i, j] > 0 else 0.0
             d = mash_distance_from_jaccard(jac, k)
             matrix[i, j] = d
             matrix[j, i] = d

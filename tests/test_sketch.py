@@ -113,3 +113,34 @@ def test_format_distance_matrix():
     lines = text.strip().split("\n")
     assert lines[0] == "sequence\ta\tb"
     assert lines[1].startswith("a\t0.000000\t")
+
+
+def test_distance_matrix_bitmap_matches_per_pair():
+    """The bitmap-intersection distance matrix must produce the exact
+    float64 values of the per-pair jaccard path."""
+    import numpy as np
+    from allwave_tpu.core.types import Sequence
+    from allwave_tpu.sketch.minhash import (
+        compute_distance_matrix_with_params,
+        jaccard,
+        mash_distance_from_jaccard,
+        sketch_canonical,
+    )
+
+    rng = np.random.RandomState(8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    for i in range(7):
+        s = rng.choice(bases, rng.randint(60, 300)).tobytes()
+        seqs.append(Sequence(f"s{i}", s))
+    seqs.append(Sequence("tiny", b"ACG"))  # below k: empty sketch
+    k, size = 15, 1000
+    got = compute_distance_matrix_with_params(seqs, k, size)
+    for i in range(len(seqs)):
+        for j in range(len(seqs)):
+            if i == j:
+                continue
+            si = sketch_canonical(seqs[i].seq, k, size)
+            sj = sketch_canonical(seqs[j].seq, k, size)
+            want = mash_distance_from_jaccard(jaccard(si, sj), k)
+            assert got[i, j] == want, (i, j)
