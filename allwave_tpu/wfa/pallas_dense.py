@@ -80,7 +80,14 @@ def _tiles_for(k_width: int, l_pad: int):
       drops below 128 (wide bands), several grid steps share one
       window held in the extended registers.
     """
-    tb = 64 if k_width <= 128 else (B_TILE if k_width <= 256 else 8)
+    if k_width <= 128:
+        tb = 64
+    elif k_width <= 256:
+        tb = B_TILE
+    elif k_width <= 8192:
+        tb = 16  # measured ~8% over tb=8 at K=4096 (score-only sweep)
+    else:
+        tb = 8  # K=16384 bands alone need 5.2 MB at tb=16
     d = PLANE_BYTES_MAX // (tb * k_width)
     d = 1 << max(d.bit_length() - 1, 0)  # pow2 so it divides 2*l_pad
     d = max(8, min(256, d))
