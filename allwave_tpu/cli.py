@@ -74,6 +74,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(comma-separated)",
     )
     p.add_argument(
+        "--resume",
+        action="store_true",
+        help="Resume an interrupted run: skip pairs already present in "
+        "the output PAF (requires -o) and append the rest",
+    )
+    p.add_argument(
         "-e",
         "--exclude-prefixes",
         default=None,
@@ -195,9 +201,36 @@ def main(argv: Optional[List[str]] = None) -> int:
         use_mash_orientation=not args.wfa_orientation,
         sparsification=sparsification,
     )
+
+    append = False
+    if args.resume:
+        import os
+
+        if not args.output:
+            print("Error: --resume requires -o/--output", file=sys.stderr)
+            return 2
+        if os.path.exists(args.output):
+            done = set()
+            with open(args.output) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 6:
+                        done.add((parts[0], parts[5]))
+            skipped = aligner.skip_done_pairs(done)
+            if skipped:
+                print(
+                    f"Resuming: {skipped} pairs already in {args.output}, "
+                    f"{aligner.pair_count()} remaining",
+                    file=sys.stderr,
+                )
+                append = True
     total = aligner.pair_count()
 
-    out = open(args.output, "w") if args.output else sys.stdout
+    out = (
+        open(args.output, "a" if append else "w")
+        if args.output
+        else sys.stdout
+    )
     interactive = args.output is None and sys.stderr.isatty()
     progress = ProgressTracker(
         total, enabled=not args.no_progress, interactive=interactive

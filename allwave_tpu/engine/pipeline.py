@@ -125,6 +125,25 @@ class AllPairAligner:
     def pair_count(self) -> int:
         return int(self.pairs.shape[0])
 
+    def skip_done_pairs(self, done) -> int:
+        """Drop pairs whose (query_id, target_id) is in `done` — the
+        resume mechanism for interrupted multi-hour runs (the streaming
+        PAF output is the reference's only crash tolerance, SURVEY §5;
+        here a partial output file doubles as the done-pair record).
+        Returns the number of pairs skipped."""
+        if not done:
+            return 0
+        keep = np.ones(self.pairs.shape[0], dtype=bool)
+        for p, (i, j) in enumerate(self.pairs):
+            if (
+                self.sequences[int(i)].id,
+                self.sequences[int(j)].id,
+            ) in done:
+                keep[p] = False
+        skipped = int((~keep).sum())
+        self.pairs = self.pairs[keep]
+        return skipped
+
     def get_pairs(self) -> np.ndarray:
         return self.pairs
 

@@ -318,3 +318,37 @@ def test_wfa_orientation_flag(tmp_path):
     by_pair = {(r["qname"], r["tname"]): r for r in records}
     assert by_pair[("r", "t")]["strand"] == "-"
     assert by_pair[("t", "r")]["strand"] == "-"
+
+
+def test_resume_skips_done_pairs(tmp_path, basic_case):
+    """--resume appends only the missing pairs; the merged file covers
+    every pair exactly once."""
+    import subprocess
+    import sys
+
+    _, fa = basic_case
+    out = tmp_path / "out.paf"
+    # full run to learn the expected record set
+    r = subprocess.run(
+        [sys.executable, "-m", "allwave_tpu.cli", "-i", str(fa), "-p",
+         "none", "-o", str(out), "--no-progress"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    full = sorted(out.read_text().strip().splitlines())
+    assert full
+    # truncate to half and resume
+    half = full[: len(full) // 2]
+    out.write_text("\n".join(half) + "\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "allwave_tpu.cli", "-i", str(fa), "-p",
+         "none", "-o", str(out), "--no-progress", "--resume"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Resuming:" in r.stderr
+    merged = sorted(out.read_text().strip().splitlines())
+    keys = [(l.split("\t")[0], l.split("\t")[5]) for l in merged]
+    want = [(l.split("\t")[0], l.split("\t")[5]) for l in full]
+    assert sorted(keys) == sorted(want)
+    assert len(keys) == len(set(keys))
