@@ -215,6 +215,13 @@ def hash_kmers(seq: np.ndarray, k: int) -> np.ndarray:
     n = seq.size - k + 1
     if n <= 0:
         return np.zeros(0, dtype=_U64)
+    # native C++ path when built (csrc/siphash13.cpp, bit-identical;
+    # ~25x the vectorized-NumPy throughput on long sequences)
+    from .. import native
+
+    nat = native.hash_kmers_native(seq, k)
+    if nat is not None:
+        return nat
     msg_len = 8 + k
     # Build the (n, msg_len) byte matrix: 8-byte LE length prefix + window.
     mat = np.zeros((n, msg_len), dtype=np.uint8)

@@ -478,3 +478,24 @@ def expand_runs_to_cigar(
     lens = lens_row[:n][::-1]
     keep = lens > 0
     return np.repeat(ops[keep], lens[keep]).astype(np.uint8)
+
+
+def expand_runs_batch(ops, lens, nruns):
+    """Batched expand_runs_to_cigar: ONE np.repeat over the whole
+    (B, run_cap) buffers instead of B small ones (the per-record loop
+    cost ~15 ms per 2048-pair batch in the pipeline profile).
+
+    Returns a list of per-pair cigar byte arrays (views into one
+    backing buffer)."""
+    B, cap = ops.shape
+    valid = np.arange(cap, dtype=np.int32)[None, :] < np.asarray(nruns)[:, None]
+    l64 = lens.astype(np.int64) * valid
+    # reverse run order per row (device emits end->start)
+    ops_r = ops[:, ::-1]
+    lens_r = l64[:, ::-1]
+    flat_lens = lens_r.ravel()
+    expanded = np.repeat(ops_r.ravel(), flat_lens)
+    row_sizes = lens_r.sum(axis=1)
+    offs = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(row_sizes, out=offs[1:])
+    return [expanded[offs[i] : offs[i + 1]] for i in range(B)]

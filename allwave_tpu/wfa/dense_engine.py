@@ -27,7 +27,7 @@ import numpy as np
 
 from .params import Penalties
 from . import dense as D_
-from .batch import expand_runs_to_cigar
+from .batch import expand_runs_batch, expand_runs_to_cigar
 from .engine import BatchWavefrontAligner, EngineConfig
 
 
@@ -253,13 +253,11 @@ class DenseBandAligner:
         i_ct = np.where((ops == ord("I")) & valid, l64, 0).sum(1)
         d_ct = np.where((ops == ord("D")) & valid, l64, 0).sum(1)
 
+        cigars = expand_runs_batch(ops, lens, nruns)
         escalate: List[Tuple[int, Tuple[int, int]]] = []
         for j, i in enumerate(group):
             if good[j]:
-                cigar = expand_runs_to_cigar(
-                    ops[j], lens[j].astype(np.int64), int(nruns[j])
-                )
-                results[i] = (int(scores[j]), cigar)
+                results[i] = (int(scores[j]), cigars[j])
                 stats[i, 0] = m_ct[j]
                 stats[i, 1] = m_ct[j] + x_ct[j]
                 stats[i, 2] = m_ct[j] + x_ct[j] + d_ct[j]  # query consumed
