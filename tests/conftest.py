@@ -15,6 +15,10 @@ if not os.environ.get("ALLWAVE_TEST_TPU"):
     # JAX_PLATFORMS env var alone is NOT enough — override the config
     # after import as well.
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # CLI subprocess tests can't run the in-process config override, so
+    # route them through allwave's own platform knob (read by
+    # utils.jaxcache.enable_compilation_cache before first device use)
+    os.environ["ALLWAVE_PLATFORM"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

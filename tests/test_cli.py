@@ -320,13 +320,24 @@ def test_wfa_orientation_flag(tmp_path):
     assert by_pair[("t", "r")]["strand"] == "-"
 
 
-def test_resume_skips_done_pairs(tmp_path, basic_case):
+def test_resume_skips_done_pairs(tmp_path):
     """--resume appends only the missing pairs; the merged file covers
     every pair exactly once."""
     import subprocess
     import sys
 
-    _, fa = basic_case
+    # own tiny FASTA (length < 128 -> smallest l_pad bucket): this test
+    # necessarily hits fresh jit shapes in BOTH subprocess runs (the
+    # resumed pair subset has a different batch size), so keep compiles
+    # cheap
+    case = make_test_case(
+        seed=77,
+        n_sequences=4,
+        length=100,
+        cfg=MutationConfig(snp_rate=0.02),
+    )
+    fa = tmp_path / "resume.fa"
+    case.write_fasta(str(fa))
     out = tmp_path / "out.paf"
     # full run to learn the expected record set
     r = subprocess.run(
