@@ -7,7 +7,7 @@ types; on-device state lives in packed JAX arrays (see allwave_tpu.wfa).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from typing import Optional, Union
 

@@ -12,7 +12,7 @@ they complete; order is unspecified, as at t>1 in the reference).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence as PySequence, Tuple
+from typing import Callable, List, Optional, Sequence as PySequence
 
 import numpy as np
 

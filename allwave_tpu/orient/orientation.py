@@ -16,7 +16,7 @@ results, O(n) instead of O(pairs) sketching).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence as PySequence
+from typing import Sequence as PySequence
 
 import numpy as np
 

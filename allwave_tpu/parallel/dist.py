@@ -17,7 +17,7 @@ each host's shard over its local chips via parallel.mesh.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence as PySequence
+from typing import Callable, Optional, Sequence as PySequence
 
 import numpy as np
 

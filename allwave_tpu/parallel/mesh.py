@@ -17,7 +17,7 @@ jax's own SPMD model.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -25,7 +25,7 @@ The results are identical because sketching is deterministic.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence as PySequence
+from typing import List, Sequence as PySequence
 
 import numpy as np
 

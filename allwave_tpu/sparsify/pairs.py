@@ -10,7 +10,7 @@ All-pairs means DIRECTED n*(n-1): both (i,j) and (j,i) are aligned.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence as PySequence, Tuple
+from typing import Sequence as PySequence
 
 import numpy as np
 

@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence as PySequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
-import numpy as np
 
 from .core.cigar import cigar_string_to_bytes, validate_cigar
 from .core.types import Sequence

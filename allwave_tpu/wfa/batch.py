@@ -31,7 +31,7 @@ diagonal k = h - v, offsets store h; CIGAR ops in WFA2 byte convention.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

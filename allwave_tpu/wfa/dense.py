@@ -39,7 +39,6 @@ gap closes in order I1, I2, D1, D2; gap states prefer extend over open.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import numpy as np
 
 from .params import Penalties
 from . import dense as D_
-from .batch import expand_runs_batch, expand_runs_to_cigar
+from .batch import expand_runs_batch
 from .engine import BatchWavefrontAligner, EngineConfig
 
 

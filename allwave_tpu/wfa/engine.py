@@ -16,9 +16,8 @@ once and reused across the run.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import List, Optional, Sequence as PySequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ Score semantics: match = 0, all penalties positive, lower score better.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 from ..core.types import AlignmentMode, AlignmentParams
 

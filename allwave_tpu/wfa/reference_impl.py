@@ -27,7 +27,7 @@ recalibrate by editing these two constants only.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

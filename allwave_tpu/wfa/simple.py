@@ -9,7 +9,6 @@ so library users of the reference find the same call shapes here.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
 
 import numpy as np
 
