@@ -153,7 +153,12 @@ class DenseBandAligner:
             max(max(len(q) + len(t) for q, t in pairs) + 1, 2)
         )
         k0 = min(k0, k_full)
-        cap0 = min(self.config.run_cap_initial, 2 * l_pad + 8)
+        # run buffers must scale with length: a pure-match CIGAR already
+        # needs L/255 runs, and event counts grow with L (a too-small cap
+        # silently doubles work via the overflow->full-cap rerun)
+        cap0 = min(
+            max(self.config.run_cap_initial, l_pad // 8), 2 * l_pad + 8
+        )
         # rounds keyed by (band, run_cap): trace-first at (k0, cap0);
         # certificate failures jump straight to the band their banded
         # score certifies (or double, if unreachable); run-buffer
