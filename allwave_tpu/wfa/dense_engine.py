@@ -67,13 +67,19 @@ class DenseBandAligner:
     def _next_pow2(n: int) -> int:
         return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
 
+    #: accepted band widths: 128-lane multiples on a {1, 1.5} x pow2
+    #: ladder — Mosaic only needs K % 128 == 0, and the finer ladder
+    #: saves up to 25% band work vs pure powers of two
+    K_LADDER = sorted(
+        {128 << i for i in range(8)} | {384 << i for i in range(6)}
+    )
+
     def _round_k(self, k: int) -> int:
-        """Band widths the forward engine accepts: pow2 for the XLA
-        scan; pow2 multiples of 128 for the Pallas kernel's lane dim."""
-        k = self._next_pow2(k)
-        if self.impl == "pallas":
-            k = max(k, 128)
-        return k
+        """Smallest accepted band width >= k."""
+        for v in self.K_LADDER:
+            if v >= k:
+                return v
+        return self.K_LADDER[-1]
 
     def _k_for_score(self, sigma: int, kend_abs: int) -> int:
         """Smallest accepted band width whose exit-and-return

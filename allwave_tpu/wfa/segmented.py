@@ -468,11 +468,16 @@ class SegmentedDenseAligner:
     def _next_pow2(n: int) -> int:
         return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
 
+    K_LADDER = sorted(
+        {128 << i for i in range(8)} | {384 << i for i in range(6)}
+    )
+
     def _round_k(self, k: int) -> int:
-        k = self._next_pow2(k)
-        if self.impl == "pallas":
-            k = max(k, 128)
-        return k
+        """Smallest accepted band width >= k (see DenseBandAligner)."""
+        for v in self.K_LADDER:
+            if v >= k:
+                return v
+        return self.K_LADDER[-1]
 
     def _k_for_score(self, sigma: int, kend_abs: int) -> int:
         """Smallest accepted band width whose exit-and-return
