@@ -78,9 +78,14 @@ def main():
     ]
     assert len(warm) == len(pairs)
 
-    t0 = time.time()
-    results = run_once()
-    dt = time.time() - t0
+    # two measured runs, best-of (the driver tunnel adds multi-second
+    # jitter; the kernel itself is deterministic)
+    best_dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        results = run_once()
+        best_dt = min(best_dt, time.time() - t0)
+    dt = best_dt
     n_ok = sum(1 for r in results if r.alignment_length > 0)
     device_rate = n_ok / dt
 
