@@ -608,12 +608,15 @@ class SegmentedDenseAligner:
 
         span = dense_span_pallas if impl == "pallas" else dense_span_xla
         n_seg = (2 * l_pad) // C
-        d_np = np.asarray(d)
-        for seg in range(n_seg - 1, -1, -1):
+        # segments above every walker's START position can never be
+        # visited (walkers only move to smaller d) — computable on the
+        # host up front, so the replay loop runs WITHOUT any per-segment
+        # device->host sync (each round trip costs ~25 ms on a tunneled
+        # TPU; a 100 kb batch has 64 segments)
+        d0_max = int(np.asarray(d).max()) if B else 0
+        top_seg = min(n_seg - 1, max(0, (d0_max - 1)) // C)
+        for seg in range(top_seg, -1, -1):
             d_lo = seg * C
-            # skip segments entirely above every walker's position
-            if seg > 0 and not (d_np > d_lo).any():
-                continue
             state = tuple(comp_arr[seg] for comp_arr in ckpts)
             _, planes = span(
                 qs,
@@ -638,9 +641,6 @@ class SegmentedDenseAligner:
                 self.pen,
                 run_cap,
             )
-            d_np = np.asarray(walk[0])
-            if not np.asarray(walk[3]).any():
-                break
 
         ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
         still_active = np.asarray(walk[3])
