@@ -358,7 +358,12 @@ class UnifiedAligner:
             from ..core.cigar import batch_cigar_stats
 
             sub = [pairs[i] for i in long_idx]
-            out = self.segmented.align_pairs(sub)
+            hint = (
+                [sigma_hint[i] for i in long_idx]
+                if sigma_hint is not None
+                else None
+            )
+            out = self.segmented.align_pairs(sub, sigma_hint=hint)
             st = batch_cigar_stats(
                 [r[1] if r is not None else np.zeros(0, np.uint8) for r in out]
             )

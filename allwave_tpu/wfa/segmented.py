@@ -510,8 +510,11 @@ class SegmentedDenseAligner:
         )
 
     def align_pairs(
-        self, pairs: List[Tuple[bytes, bytes]]
+        self, pairs: List[Tuple[bytes, bytes]], sigma_hint=None
     ) -> List[Optional[Tuple[int, np.ndarray]]]:
+        """sigma_hint: optional per-pair estimated scores (mash-derived);
+        long pairs then start at the band their divergence implies
+        instead of probing narrow and escalating through full sweeps."""
         n = len(pairs)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
         if n == 0:
@@ -528,7 +531,22 @@ class SegmentedDenseAligner:
             max(max(len(q) + len(t) for q, t in pairs) + 1, 2)
         )
         k0 = min(k0, k_full)
-        rounds: Dict[int, List[int]] = {k0: list(range(n))}
+        if sigma_hint is None:
+            rounds: Dict[int, List[int]] = {k0: list(range(n))}
+        else:
+            rounds = {}
+            for i in range(n):
+                kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                ki = max(
+                    self._k_for_score(int(sigma_hint[i]), kend_abs),
+                    self._round_k(self.config.k_initial),
+                    self._round_k(kend_abs + 2),
+                )
+                ki = min(
+                    ki,
+                    self._round_k(len(pairs[i][0]) + len(pairs[i][1]) + 1),
+                )
+                rounds.setdefault(ki, []).append(i)
         while rounds:
             k = min(rounds)
             idxs = rounds.pop(k)
