@@ -95,13 +95,17 @@ class OrientationIndex:
             return self.rc(query_idx), True
         return self.sequences[query_idx].seq, False
 
+    #: targets per bitmap block in _decision_matrix — bounds the
+    #: value->target bitmap at ~(block*sketch) rows x block/8 bytes
+    DECISION_BLOCK = 1024
+
     def _decision_matrix(self) -> np.ndarray:
         """(n, n) bool: [qi, tj] = should query qi be RC'd against
-        target tj. Computed in one pass with a value->target bitmap:
-        assign dense ids to every sketch hash (one global sort), mark
-        which FWD (target) sketches contain each id as packed bits, then
-        each query's intersection counts against ALL targets are a
-        row-take + unpackbits + column sum — no per-pair set ops.
+        target tj. Computed with a value->target bitmap per TARGET
+        BLOCK: dense ids over the block's sketch hashes, packed
+        membership bits, then each query's intersection counts against
+        the whole block are a searchsorted + row-take + unpackbits
+        column sum — no per-pair set ops, memory bounded for large n.
         Bit-identical decisions to orient(): same float64 Jaccard, same
         tie -> forward rule."""
         n = len(self.sequences)
@@ -110,37 +114,50 @@ class OrientationIndex:
         sizes_f = np.array([s.size for s in fsets], dtype=np.int64)
         sizes_r = np.array([s.size for s in rsets], dtype=np.int64)
 
-        all_vals = np.concatenate(fsets + rsets) if n else np.zeros(0, "u8")
-        uniq, inv = np.unique(all_vals, return_inverse=True)
-        offs = np.zeros(2 * n + 1, dtype=np.int64)
-        np.cumsum(np.concatenate([sizes_f, sizes_r]), out=offs[1:])
-
-        nbytes = (n + 7) // 8
-        bitmap = np.zeros((uniq.size, nbytes), dtype=np.uint8)
-        for j in range(n):  # targets always use the FWD sketch
-            rows = inv[offs[j] : offs[j + 1]]
-            np.bitwise_or.at(bitmap[:, j >> 3], rows, np.uint8(1 << (j & 7)))
-
-        def counts_vs_all_targets(lo, hi):
-            rows = inv[lo:hi]
-            if rows.size == 0:
-                return np.zeros(n, dtype=np.int64)
-            bits = np.unpackbits(
-                bitmap[rows], axis=1, count=n, bitorder="little"
-            )
-            return bits.sum(axis=0, dtype=np.int64)
-
         decisions = np.zeros((n, n), dtype=bool)
         best_j = np.zeros((n, n), dtype=np.float64)
-        for i in range(n):
-            fi = counts_vs_all_targets(offs[i], offs[i + 1])
-            ri = counts_vs_all_targets(offs[n + i], offs[n + i + 1])
-            fu = sizes_f[i] + sizes_f - fi
-            ru = sizes_r[i] + sizes_f - ri
-            fwd_j = np.where(fu > 0, fi / np.maximum(fu, 1), 0.0)
-            rev_j = np.where(ru > 0, ri / np.maximum(ru, 1), 0.0)
-            decisions[i] = ~(fwd_j >= rev_j)
-            best_j[i] = np.maximum(fwd_j, rev_j)
+        blk = self.DECISION_BLOCK
+        for t_lo in range(0, n, blk):
+            t_hi = min(t_lo + blk, n)
+            nb = t_hi - t_lo
+            tsets = fsets[t_lo:t_hi]
+            t_sizes = sizes_f[t_lo:t_hi]
+            cat = (
+                np.concatenate(tsets)
+                if nb and sum(x.size for x in tsets)
+                else np.zeros(0, dtype=np.uint64)
+            )
+            uniq, inv = np.unique(cat, return_inverse=True)
+            t_offs = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(t_sizes, out=t_offs[1:])
+            nbytes = (nb + 7) // 8
+            bitmap = np.zeros((uniq.size + 1, nbytes), dtype=np.uint8)
+            for j in range(nb):
+                rows = inv[t_offs[j] : t_offs[j + 1]]
+                np.bitwise_or.at(
+                    bitmap[:, j >> 3], rows, np.uint8(1 << (j & 7))
+                )
+
+            def counts_vs_block(qset):
+                if qset.size == 0 or uniq.size == 0:
+                    return np.zeros(nb, dtype=np.int64)
+                pos = np.searchsorted(uniq, qset).clip(0, uniq.size - 1)
+                # miss rows map to the all-zero sentinel row
+                rows = np.where(uniq[pos] == qset, pos, uniq.size)
+                bits = np.unpackbits(
+                    bitmap[rows], axis=1, count=nb, bitorder="little"
+                )
+                return bits.sum(axis=0, dtype=np.int64)
+
+            for i in range(n):
+                fi = counts_vs_block(fsets[i])
+                ri = counts_vs_block(rsets[i])
+                fu = sizes_f[i] + t_sizes - fi
+                ru = sizes_r[i] + t_sizes - ri
+                fwd_j = np.where(fu > 0, fi / np.maximum(fu, 1), 0.0)
+                rev_j = np.where(ru > 0, ri / np.maximum(ru, 1), 0.0)
+                decisions[i, t_lo:t_hi] = ~(fwd_j >= rev_j)
+                best_j[i, t_lo:t_hi] = np.maximum(fwd_j, rev_j)
         # mash distance of the chosen orientation (reference formula,
         # mash.rs:59-74) — used downstream as a band-width hint
         with np.errstate(divide="ignore"):

@@ -94,19 +94,34 @@ def build_pairs(
             strategy.kmer_size if strategy.kmer_size is not None else DEFAULT_KMER_SIZE,
         )
 
-    pairs = generate_all_pairs(n, exclude_self)
     if isinstance(strategy, NoSparsification):
-        return pairs
+        return generate_all_pairs(n, exclude_self)
     if isinstance(strategy, RandomSparsification):
-        return apply_random_sparsification(pairs, strategy.keep_fraction, sequences)
-    if isinstance(strategy, AutoSparsification):
+        keep = strategy.keep_fraction
+    elif isinstance(strategy, AutoSparsification):
         # Auto => giant component model with 0.95 (reference: iterator.rs:54-58)
         keep = compute_connectivity_probability(n, 0.95)
-        return apply_random_sparsification(pairs, keep, sequences)
-    if isinstance(strategy, ConnectivitySparsification):
+    elif isinstance(strategy, ConnectivitySparsification):
         keep = compute_connectivity_probability(n, strategy.connectivity_prob)
-        return apply_random_sparsification(pairs, keep, sequences)
-    raise TypeError(f"Unknown sparsification strategy: {strategy!r}")
+    else:
+        raise TypeError(f"Unknown sparsification strategy: {strategy!r}")
+
+    # hash-filter in i-row blocks: materializing all n(n-1) candidate
+    # pairs AND their id strings at once is O(n^2) memory (1.6 GB of
+    # indices + 1e8 python strings at n=10k); the kept set is tiny
+    block = max(1, 4_000_000 // max(n, 1))
+    out = []
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        i = np.repeat(np.arange(lo, hi, dtype=np.int64), n)
+        j = np.tile(np.arange(n, dtype=np.int64), hi - lo)
+        pairs = np.stack([i, j], axis=1)
+        if exclude_self:
+            pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        out.append(apply_random_sparsification(pairs, keep, sequences))
+    return (
+        np.concatenate(out, axis=0) if out else np.zeros((0, 2), np.int64)
+    )
 
 
 def parse_sparsification(s: str) -> SparsificationStrategy:

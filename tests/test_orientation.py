@@ -98,3 +98,33 @@ def test_orient_batch_matches_per_pair():
     batch = oi.orient_batch(idx_pairs)
     for p, (i, j) in enumerate(idx_pairs):
         assert batch[p] == oi.orient(i, j), (i, j)
+
+
+def test_decision_matrix_blocked_matches_per_pair():
+    """Force tiny target blocks: the blocked bitmap path must make
+    identical decisions and distances to the single-block path."""
+    import numpy as np
+    from allwave_tpu.core.types import Sequence
+    from allwave_tpu.orient.orientation import (
+        OrientationIndex,
+        reverse_complement,
+    )
+
+    rng = np.random.RandomState(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = []
+    for i in range(9):
+        s = rng.choice(bases, rng.randint(60, 250)).tobytes()
+        if i % 4 == 1:
+            s = reverse_complement(s)
+        seqs.append(Sequence(f"s{i}", s))
+    a = OrientationIndex(seqs)
+    b = OrientationIndex(seqs)
+    b.DECISION_BLOCK = 2  # exercise blocking + partial last block
+    idx = [(i, j) for i in range(9) for j in range(9) if i != j]
+    np.testing.assert_array_equal(a.orient_batch(idx), b.orient_batch(idx))
+    np.testing.assert_array_equal(
+        a.distance_batch(idx), b.distance_batch(idx)
+    )
+    for i, j in idx[:20]:
+        assert a.orient(i, j) == bool(a.orient_batch([(i, j)])[0])
