@@ -235,12 +235,31 @@ def main(argv: Optional[List[str]] = None) -> int:
     progress = ProgressTracker(
         total, enabled=not args.no_progress, interactive=interactive
     )
+    # dedicated writer thread, mirroring the reference's mpsc channel ->
+    # writer design (main.rs:347-367): PAF serialization and IO overlap
+    # the device compute of the next batch
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=65536)
+
+    def writer():
+        while True:
+            result = q.get()
+            if result is None:
+                return
+            out.write(alignment_to_paf(result, sequences) + "\n")
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
     try:
         def cb(result):
-            out.write(alignment_to_paf(result, sequences) + "\n")
+            q.put(result)
             progress.update()
 
         aligner.for_each_with_callback(cb)
+        q.put(None)
+        wt.join()
         progress.finish()
     finally:
         if args.output:
