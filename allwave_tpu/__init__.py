@@ -68,6 +68,10 @@ def __getattr__(name):
         from .engine.pipeline import AllPairAligner
 
         return AllPairAligner
+    if name in ("read_fasta", "iter_fasta", "write_fasta"):
+        from .engine import fasta
+
+        return getattr(fasta, name)
     if name == "align_pair":
         from .wfa.simple import align_pair
 
