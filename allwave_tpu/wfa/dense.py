@@ -437,7 +437,9 @@ def dense_traceback(
             ),
         ).astype(jnp.bool_)
 
-        # ---- single merged emit ----
+        # ---- single merged emit; adjacent same-op runs coalesce (gap
+        # walks emit one base per iteration — without merging, a single
+        # long deletion would burn one run slot per base) ----
         emit_op = jnp.where(
             is_match_run,
             jnp.uint8(_OP_M),
@@ -447,12 +449,23 @@ def dense_traceback(
                 jnp.where(is_i, jnp.uint8(_OP_I), jnp.uint8(_OP_D)),
             ),
         )
-        emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.uint8)
+        emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.int32)
         do_emit = active & (is_match_run | is_x | is_i | is_d)
-        idx = jnp.clip(nrun, 0, run_cap - 1)
+        prev_idx = jnp.clip(nrun - 1, 0, run_cap - 1)
+        prev_op = ops[rows, prev_idx]
+        prev_len = lens[rows, prev_idx].astype(jnp.int32)
+        can_merge = (
+            (nrun > 0) & (prev_op == emit_op) & (prev_len + emit_len <= 255)
+        )
+        idx = jnp.where(can_merge, prev_idx, jnp.clip(nrun, 0, run_cap - 1))
+        new_len = jnp.where(can_merge, prev_len + emit_len, emit_len).astype(
+            jnp.uint8
+        )
         ops = ops.at[rows, idx].set(jnp.where(do_emit, emit_op, ops[rows, idx]))
-        lens = lens.at[rows, idx].set(jnp.where(do_emit, emit_len, lens[rows, idx]))
-        nrun = nrun + do_emit.astype(jnp.int32)
+        lens = lens.at[rows, idx].set(
+            jnp.where(do_emit, new_len, lens[rows, idx])
+        )
+        nrun = nrun + (do_emit & ~can_merge).astype(jnp.int32)
 
         # ---- state transitions ----
         d_s = jnp.where(is_match_run, d - 2 * run_i, jnp.where(is_x, d - 2, d))

@@ -399,14 +399,24 @@ def traceback_segment(
                 jnp.where(is_i, jnp.uint8(_OP_I), jnp.uint8(_OP_D)),
             ),
         )
-        emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.uint8)
+        # merged emit: adjacent same-op runs coalesce (see dense.py)
+        emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.int32)
         do_emit = stepping & (is_match_run | is_x | is_i | is_d)
-        idx = jnp.clip(nrun, 0, run_cap - 1)
+        prev_idx = jnp.clip(nrun - 1, 0, run_cap - 1)
+        prev_op = ops[rows, prev_idx]
+        prev_len = lens[rows, prev_idx].astype(jnp.int32)
+        can_merge = (
+            (nrun > 0) & (prev_op == emit_op) & (prev_len + emit_len <= 255)
+        )
+        idx = jnp.where(can_merge, prev_idx, jnp.clip(nrun, 0, run_cap - 1))
+        new_len = jnp.where(can_merge, prev_len + emit_len, emit_len).astype(
+            jnp.uint8
+        )
         ops = ops.at[rows, idx].set(jnp.where(do_emit, emit_op, ops[rows, idx]))
         lens = lens.at[rows, idx].set(
-            jnp.where(do_emit, emit_len, lens[rows, idx])
+            jnp.where(do_emit, new_len, lens[rows, idx])
         )
-        nrun = nrun + do_emit.astype(jnp.int32)
+        nrun = nrun + (do_emit & ~can_merge).astype(jnp.int32)
 
         d_s = jnp.where(is_match_run, d - 2 * run_i, jnp.where(is_x, d - 2, d))
         comp_s = jnp.where(is_match_run | is_x, 0, to_gap)
@@ -531,8 +541,12 @@ class SegmentedDenseAligner:
             max(max(len(q) + len(t) for q, t in pairs) + 1, 2)
         )
         k0 = min(k0, k_full)
+        cap0 = self._run_cap(l_pad)
+        full_cap = 2 * l_pad + 8
         if sigma_hint is None:
-            rounds: Dict[int, List[int]] = {k0: list(range(n))}
+            rounds: Dict[Tuple[int, int], List[int]] = {
+                (k0, cap0): list(range(n))
+            }
         else:
             rounds = {}
             for i in range(n):
@@ -546,10 +560,10 @@ class SegmentedDenseAligner:
                     ki,
                     self._round_k(len(pairs[i][0]) + len(pairs[i][1]) + 1),
                 )
-                rounds.setdefault(ki, []).append(i)
+                rounds.setdefault((ki, cap0), []).append(i)
         while rounds:
-            k = min(rounds)
-            idxs = rounds.pop(k)
+            k, cap = min(rounds)
+            idxs = rounds.pop((k, cap))
             if k > self.config.k_max:
                 continue
             per_pair = 2 * C * k  # one segment's choices+runs
@@ -565,14 +579,16 @@ class SegmentedDenseAligner:
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
-                esc = self._run_group(pairs, group, results, k, l_pad, C)
-                for i, kk in esc:
-                    rounds.setdefault(kk, []).append(i)
+                esc = self._run_group(
+                    pairs, group, results, k, l_pad, C, cap, full_cap
+                )
+                for i, key in esc:
+                    rounds.setdefault(key, []).append(i)
         return results
 
     def _run_group(
-        self, pairs, group, results, k, l_pad, C
-    ) -> List[Tuple[int, int]]:
+        self, pairs, group, results, k, l_pad, C, run_cap=None, full_cap=None
+    ) -> List[Tuple[int, Tuple[int, int]]]:
         b_pad = self._next_pow2(len(group))
         sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
         qs, ts, qlens, tlens = self._prepare(sub, l_pad)
@@ -591,7 +607,12 @@ class SegmentedDenseAligner:
         scores = np.asarray(scores_d)
         cert = np.asarray(cert_d)
 
-        escalate: List[Tuple[int, int]] = []
+        if run_cap is None:
+            run_cap = self._run_cap(l_pad)
+        if full_cap is None:
+            full_cap = 2 * l_pad + 8
+
+        escalate: List[Tuple[int, Tuple[int, int]]] = []
         any_good = False
         for j, i in enumerate(group):
             if not cert[j]:
@@ -604,7 +625,7 @@ class SegmentedDenseAligner:
                     len(pairs[i][0]) + len(pairs[i][1]) + 1
                 )
                 nk = min(nk, max(k_full, 2 * k))
-                escalate.append((i, nk))
+                escalate.append((i, (nk, run_cap)))
             else:
                 any_good = True
         if not any_good:
@@ -616,7 +637,6 @@ class SegmentedDenseAligner:
         c = jnp.clip(k_end - k0_arr, 0, K - 1).astype(jnp.int32)
         comp = jnp.zeros((B,), jnp.int32)
         alive = jnp.asarray(cert_d) & (d > 0)
-        run_cap = self._run_cap(l_pad)
         ops = jnp.zeros((B, run_cap), jnp.uint8)
         lens = jnp.zeros((B, run_cap), jnp.uint8)
         nrun = jnp.zeros((B,), jnp.int32)
@@ -667,7 +687,13 @@ class SegmentedDenseAligner:
             if not cert[j]:
                 continue
             if overflow[j]:
-                results[i] = None
+                # run buffer too small (huge structural gaps / extreme
+                # run counts): retry this pair at the full cap instead
+                # of failing it
+                if run_cap < full_cap:
+                    escalate.append((i, (k, full_cap)))
+                else:
+                    results[i] = None
                 continue
             cigar = expand_runs_to_cigar(
                 ops[j], lens[j].astype(np.int64), int(nrun[j])
