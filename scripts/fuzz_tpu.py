@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""On-hardware cross-engine fuzz: XLA vs Pallas vs segmented engines vs
+the native C++ oracle, over random penalty sets and mutation styles.
+
+Usage: python scripts/fuzz_tpu.py [seed] [budget_seconds]
+
+Run on the real TPU before releases; the seeded CPU variant lives in
+tests/test_fuzz_cross_engine.py. Last full runs: 211 + 375 mixed cases,
+0 failures.
+"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np, time, sys
+from allwave_tpu.core.types import AlignmentParams
+from allwave_tpu.wfa.params import resolve_penalties
+from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig, UnifiedAligner
+from allwave_tpu.wfa.segmented import SegmentedDenseAligner, SegmentedConfig
+from allwave_tpu import native
+from allwave_tpu.core.cigar import validate_cigar
+
+rng = np.random.RandomState(int(sys.argv[1]) if len(sys.argv) > 1 else 7777)
+acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+noisy = np.frombuffer(b"ACGTacgtNn", dtype=np.uint8)
+n_cases = 0; fail = 0
+t_end = time.time() + float(sys.argv[2] if len(sys.argv) > 2 else 600)
+while time.time() < t_end:
+    mode = rng.randint(3)
+    x = int(rng.randint(1, 9))
+    if mode == 0: params = AlignmentParams(0, x, x, x)
+    elif mode == 1: params = AlignmentParams(0, x, int(rng.randint(1, 30)), int(rng.randint(1, 6)))
+    else:
+        go, ge = int(rng.randint(1, 30)), int(rng.randint(1, 6))
+        params = AlignmentParams(0, x, go, ge, int(rng.randint(go, 60)), max(1, ge - rng.randint(0, ge)))
+    pen = resolve_penalties(params)
+    xl = DenseBandAligner(pen, DenseConfig(impl="xla"))
+    pl_ = DenseBandAligner(pen, DenseConfig(impl="pallas"))
+    sg = SegmentedDenseAligner(pen, SegmentedConfig(impl="pallas", ckpt_every=512))
+    pairs = []
+    for _ in range(int(rng.randint(1, 6))):
+        L = int(rng.choice([12, 60, 300, 900, 2200]))
+        q = rng.choice(acgt, L)
+        st = rng.randint(4)
+        if st == 0: t = q.copy()
+        elif st == 1:
+            t = q.copy(); mut = rng.rand(L) < rng.choice([0.01, 0.06, 0.25])
+            t[mut] = rng.choice(noisy, mut.sum())
+            for _ in range(rng.randint(0, 4)):
+                p = rng.randint(0, max(1, len(t))); ln = rng.randint(1, 25)
+                t = np.concatenate([t[:p], t[p+ln:]]) if rng.rand() < 0.5 else np.concatenate([t[:p], rng.choice(acgt, ln), t[p:]])
+        elif st == 2: t = rng.choice(acgt, int(rng.randint(1, L + 30)))
+        else:
+            unit = rng.choice(acgt, rng.randint(1, 6))
+            t = np.tile(unit, L // len(unit) + 1)[:L]
+            q = np.tile(unit, (L + 15) // len(unit) + 1)[:L + rng.randint(-8, 15)]
+        pairs.append((q.tobytes(), t.tobytes()))
+    a = xl.align_pairs(pairs); b = pl_.align_pairs(pairs); c = sg.align_pairs(pairs)
+    for i in range(len(pairs)):
+        n_cases += 1
+        rs = [a[i], b[i], c[i]]
+        if any((r is None) != (rs[0] is None) for r in rs):
+            fail += 1; print("NONE MISMATCH", params, i); continue
+        if rs[0] is None: continue
+        if any(r[0] != rs[0][0] or not np.array_equal(r[1], rs[0][1]) for r in rs[1:]):
+            fail += 1; print("3-ENGINE MISMATCH", params, i, [r[0] for r in rs]); continue
+        try: validate_cigar(rs[0][1], pairs[i][0], pairs[i][1])
+        except ValueError as e: fail += 1; print("INVALID CIGAR", params, i, e); continue
+        if len(pairs[i][0]) + len(pairs[i][1]) <= 1400:
+            o = native.wfa_align_native(pairs[i][0], pairs[i][1], pen)
+            if o is not None and (o[0] != rs[0][0] or not np.array_equal(np.asarray(o[1]), rs[0][1])):
+                fail += 1; print("ORACLE MISMATCH", params, i)
+print(f"fuzz2 (xla vs pallas vs segmented vs oracle): {n_cases} cases, {fail} failures")
