@@ -14,9 +14,11 @@ Why it is TPU-native:
 * choice bits for the traceback stream out as scan outputs (one uint8
   plane per step), so the backtrace is O(1) lookups per step.
 
-Cost is L*K/2 cells instead of the wavefront's ~s*K/2, so this engine
-wins for short-to-medium sequences and the wavefront engine wins for
-long, low-divergence pairs. The scheduler picks per bucket.
+Cost is L*K/2 cells instead of the wavefront's ~s*K/2 — but it is
+gather-free, which on TPU wins end to end. This XLA scan is the
+portable twin of the Pallas kernel (pallas_dense.py, the production
+path: the scan pays ~50us/step of carry traffic); long pairs run the
+same DP through the segmented checkpoint-replay engine (segmented.py).
 
 Band correctness: with band half-width slack W beyond the [0, k_end]
 hull, any alignment leaving the band must contain net indels of more

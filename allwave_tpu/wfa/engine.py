@@ -1,5 +1,12 @@
 """Host orchestration of the batched device wavefront engine.
 
+Role note: the PRODUCTION alignment path is the dense banded engine
+(dense_engine.py / segmented.py) — gather-free, which TPUs reward. This
+score-sweep (WFA-style) engine remains as a second independent engine
+for score-only discovery workloads and as a cross-check in the parity
+suites; its extension step gathers per diagonal, which caps its TPU
+throughput.
+
 Pairs are aligned in two device passes (see batch.py):
 
 1. score discovery with escalating score caps (64, 256, 1024, ...):
