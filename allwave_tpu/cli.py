@@ -261,6 +261,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         q.put(None)
         wt.join()
         progress.finish()
+        if not args.no_progress:
+            from .utils.telemetry import counters
+
+            snap = counters.snapshot()
+            if snap["cells"]:
+                print(
+                    f"engine: {snap['cells'] / 1e9:.2f} G DP cells in "
+                    f"{snap['dispatches']} dispatches, "
+                    f"{snap['cells_per_sec'] / 1e9:.2f} Gcells/s device",
+                    file=sys.stderr,
+                )
     finally:
         if args.output:
             out.close()

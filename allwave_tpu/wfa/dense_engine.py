@@ -246,7 +246,10 @@ class DenseBandAligner:
     ) -> List[Tuple[int, Tuple[int, int]]]:
         """ONE device->host transfer; fills certified results and
         returns [(pair_idx, (next_k, next_cap)), ...] for escalations."""
-        packed = np.asarray(device_buf)
+        from ..utils.telemetry import timed_dispatch
+
+        with timed_dispatch(len(group), len(group) * 2 * l_pad * k):
+            packed = np.asarray(device_buf)
         meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
         scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
         ops = packed[:, 16 : 16 + run_cap]

@@ -680,6 +680,13 @@ class SegmentedDenseAligner:
                 run_cap,
             )
 
+        from ..utils.telemetry import counters
+
+        counters.add(
+            pairs=len(group),
+            cells=len(group) * 2 * (2 * l_pad) * k,  # sweep + replay
+            dispatches=2 * ((2 * l_pad) // C),
+        )
         ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
         still_active = np.asarray(walk[3])
         overflow = overflow | still_active

@@ -189,3 +189,33 @@ def test_alignment_mode_edge_cases():
     # gap2 set => two-piece even if edit-like (order matters, types.rs:105-117)
     p = parse_scores("0,1,1,1,24,1")
     assert AlignmentMode.from_params(p) == AlignmentMode.TWO_PIECE_AFFINE
+
+
+def test_telemetry_counters():
+    from allwave_tpu.utils.telemetry import EngineCounters, counters
+
+    c = EngineCounters()
+    c.add(pairs=4, cells=1000, device_seconds=0.5)
+    c.add(pairs=2, cells=500, device_seconds=0.5)
+    snap = c.snapshot()
+    assert snap["pairs"] == 6 and snap["cells"] == 1500
+    assert snap["dispatches"] == 2 and snap["cells_per_sec"] == 1500
+    c.reset()
+    assert c.snapshot()["pairs"] == 0
+    # the process-wide instance accumulates from engine dispatches
+    import numpy as np
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
+    from allwave_tpu.wfa.params import resolve_penalties
+
+    counters.reset()
+    rng = np.random.RandomState(2)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    q = rng.choice(bases, 80).tobytes()
+    al = DenseBandAligner(
+        resolve_penalties(parse_scores("0,5,8,2,24,1")),
+        DenseConfig(impl="xla"),
+    )
+    al.align_pairs([(q, q)])
+    snap = counters.snapshot()
+    assert snap["pairs"] >= 1 and snap["cells"] > 0
