@@ -80,10 +80,10 @@ def _tiles_for(k_width: int, l_pad: int):
       drops below 128 (wide bands), several grid steps share one
       window held in the extended registers.
     """
-    if k_width <= 128:
+    if k_width <= 256:
+        # tb=64 measured 1.45x over tb=32 at K=256 and ~10% over tb=32
+        # at K=128 on v5e; at K>=384 the advantage vanishes (~1.05x)
         tb = 64
-    elif k_width <= 256:
-        tb = B_TILE
     elif k_width <= 8192:
         tb = 16  # measured ~8% over tb=8 at K=4096 (score-only sweep)
     else:
