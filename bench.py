@@ -94,13 +94,22 @@ def main():
     cells = sum((r.score + 1) * (2 * r.score + 1) for r in results)
     cells_per_sec = cells / dt
 
-    # CPU baseline: native single-core on a sample, extrapolated
+    # CPU baseline: native single-core on a sample. A single 32-pair pass
+    # is ~10 ms of work — far too short to time stably — so warm up once,
+    # then repeat the sample loop until >=1 s has elapsed and average.
     sample = pairs[: min(32, len(pairs))]
-    t0 = time.time()
-    for q, t in sample:
+    for q, t in sample[:4]:
         native.wfa_align_native(q, t, pen)
-    cpu_dt = time.time() - t0
-    cpu_rate = len(sample) / cpu_dt if cpu_dt > 0 else float("nan")
+    cpu_n = 0
+    t0 = time.perf_counter()
+    while True:
+        for q, t in sample:
+            native.wfa_align_native(q, t, pen)
+        cpu_n += len(sample)
+        cpu_dt = time.perf_counter() - t0
+        if cpu_dt >= 1.0:
+            break
+    cpu_rate = cpu_n / cpu_dt if cpu_dt > 0 else float("nan")
 
     import jax
 
