@@ -189,7 +189,29 @@ class DenseBandAligner:
                     ),
                 )
                 rounds.setdefault((ki, cap0), []).append(i)
-        while rounds:
+        # software pipeline with a single in-flight slot carried ACROSS
+        # band rounds: dispatch the next group (possibly at a different
+        # K) before collecting the previous one, so upload + host
+        # decode/CIGAR expansion always overlap device compute — the
+        # per-round drain used to serialize a full tunnel round trip
+        # between consecutive band widths
+        inflight = None  # (group, device_buf, k, cap)
+
+        def _drain():
+            nonlocal inflight
+            if inflight is None:
+                return
+            g, buf, kk, cc = inflight
+            inflight = None
+            for i, key in self._collect_group(
+                pairs, g, buf, results, stats, kk, cc, l_pad
+            ):
+                rounds.setdefault(key, []).append(i)
+
+        while rounds or inflight is not None:
+            if not rounds:
+                _drain()
+                continue
             k, cap = min(rounds)
             idxs = rounds.pop((k, cap))
             if k > self.config.k_max:
@@ -205,24 +227,11 @@ class DenseBandAligner:
                 )
             )
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
-            # software pipeline: dispatch group g+1 before collecting
-            # group g, so upload + host decode/CIGAR expansion overlap
-            # the device compute of the next batch
-            inflight = None
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
                 dispatched = self._dispatch_group(pairs, group, k, cap, l_pad)
-                if inflight is not None:
-                    for i, key in self._collect_group(
-                        pairs, *inflight, results, stats, k, cap, l_pad
-                    ):
-                        rounds.setdefault(key, []).append(i)
-                inflight = (group, dispatched)
-            if inflight is not None:
-                for i, key in self._collect_group(
-                    pairs, *inflight, results, stats, k, cap, l_pad
-                ):
-                    rounds.setdefault(key, []).append(i)
+                _drain()
+                inflight = (group, dispatched, k, cap)
         return (results, stats) if with_stats else results
 
     def _dispatch_group(self, pairs, group, k, run_cap, l_pad):
