@@ -75,10 +75,19 @@ def _shift_down(a, fill):  # out[..., c] = a[..., c-1]
 
 
 def _band_geometry(qlens, tlens, K):
+    """Band window [k0, k0+K-1] around the [0, k_end] hull.
+
+    k0 is EVEN-aligned (shifted one diagonal left when odd) so the
+    parity-compressed Pallas kernel can statically map even diagonals
+    to even lanes; the returned slack is the true min(left, right)
+    margin between hull and band edge — the escape-certificate width."""
     k_end = tlens - qlens
     slack = (K - 1 - jnp.abs(k_end)) // 2
     k0 = jnp.minimum(0, k_end) - slack
-    return k_end, k0, slack
+    k0 = k0 - (k0 & 1)
+    w_l = jnp.minimum(0, k_end) - k0
+    w_r = (k0 + (K - 1)) - jnp.maximum(0, k_end)
+    return k_end, k0, jnp.minimum(w_l, w_r)
 
 
 @functools.partial(
