@@ -288,6 +288,12 @@ _OP_I = ord("I")
 _OP_D = ord("D")
 
 
+def _pallas_compressed(k_width: int) -> bool:
+    from . import pallas_dense as P
+
+    return P.uses_compressed_planes(k_width)
+
+
 @functools.partial(
     jax.jit, static_argnames=("pen", "k_width", "l_pad", "run_cap", "impl")
 )
@@ -309,7 +315,14 @@ def dense_align(
             qs, ts, qlens, tlens, pen, k_width, l_pad, True
         )
     ops, lens, nruns, overflow = dense_traceback(
-        choices, scores, qlens, tlens, pen, run_cap
+        choices,
+        scores,
+        qlens,
+        tlens,
+        pen,
+        run_cap,
+        k_width=k_width,
+        compressed=(impl == "pallas" and _pallas_compressed(k_width)),
     )
     return scores, cert, ops, lens, nruns, overflow
 
@@ -354,7 +367,14 @@ def dense_align_packed(
             qs, ts, qlens, tlens, pen, k_width, l_pad, True
         )
     ops, lens, nruns, overflow = dense_traceback(
-        choices, scores, qlens, tlens, pen, run_cap
+        choices,
+        scores,
+        qlens,
+        tlens,
+        pen,
+        run_cap,
+        k_width=k_width,
+        compressed=(impl == "pallas" and _pallas_compressed(k_width)),
     )
     B = scores.shape[0]
     meta = jnp.stack(
@@ -370,14 +390,18 @@ def dense_align_packed(
     return jnp.concatenate([meta_u8, ops, lens], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("pen", "run_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("pen", "run_cap", "k_width", "compressed")
+)
 def dense_traceback(
-    choices_runs,  # tuple: ((2*l_pad, B, K) uint8 choices, same-shape uint8 runlens)
+    choices_runs,  # tuple: ((2*l_pad, B, Kp) uint8 choices, same-shape uint8 runlens)
     scores: jnp.ndarray,
     qlens: jnp.ndarray,
     tlens: jnp.ndarray,
     pen: Penalties,
     run_cap: int,
+    k_width: int = 0,
+    compressed: bool = False,
 ):
     """Walk the choice planes from (plen, tlen) back to (0, 0), emitting
     (op, len) runs in reverse order (host merges; same output contract as
@@ -386,9 +410,16 @@ def dense_traceback(
     Match runs are skipped in bulk using the run-length plane (one
     traceback hop per <=255 matched bases), so iterations scale with the
     number of mutation events, not sequence length. One merged emit
-    (single scatter) per iteration. Bounded — cannot hang."""
+    (single scatter) per iteration. Bounded — cannot hang.
+
+    compressed=True: the planes come from the parity-compressed Pallas
+    kernel — row d holds only the parity-active lanes, at plane column
+    (k - k0) >> 1 (every cell a valid traceback visits has k ≡ d mod 2,
+    so the mapping is total); k_width is then the NOMINAL band width
+    (the plane is ceil(K/2) lanes wide, lane-rounded)."""
     choices, runlens = choices_runs
-    D2, B, K = choices.shape
+    D2, B, KP = choices.shape
+    K = k_width or KP
     k_end, k0, _ = _band_geometry(qlens, tlens, K)
     rows = jnp.arange(B, dtype=jnp.int32)
 
@@ -397,8 +428,9 @@ def dense_traceback(
         # int32 for large banded batches and x64 is disabled
         d_ok = (d >= 1) & (d <= D2)
         c_ok = (c >= 0) & (c < K)
+        cp = (c >> 1) if compressed else c
         dd = jnp.clip(d - 1, 0, D2 - 1)
-        cc = jnp.clip(c, 0, K - 1)
+        cc = jnp.clip(cp, 0, KP - 1)
         byte = jnp.where(d_ok & c_ok, choices[dd, rows, cc], jnp.uint8(0))
         run = jnp.where(d_ok & c_ok, runlens[dd, rows, cc], jnp.uint8(0))
         return byte, run

@@ -242,9 +242,9 @@ class DenseBandAligner:
         args = self._prepare_pool(sub, l_pad)
         impl = self.impl
         if impl == "pallas":
-            from .pallas_dense import K_MAX
+            from .pallas_dense import K_MAX_C2
 
-            if k > K_MAX:  # band too wide for VMEM; rare escalations
+            if k > K_MAX_C2:  # band too wide for VMEM; rare escalations
                 impl = "xla"
         return D_.dense_align_packed(
             *args, self.pen, k, l_pad, run_cap, impl

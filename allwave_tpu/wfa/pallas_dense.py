@@ -64,6 +64,27 @@ PLANE_BYTES_MAX = 1 << 20
 K_MAX = 16384  # ceiling for the pair tile tb=8: five int32 bands plus
 # the extended registers and the streamed plane blocks stay within the
 # 16 MB VMEM scoped limit
+K_MAX_C2 = 32768  # parity-compressed full-sweep kernel: the band state
+# is KC = K/2 lanes wide, doubling the VMEM band ceiling
+
+
+def _tiles_for_c2(kc: int, l_pad: int):
+    """(batch_tile, d_chunk, window_lanes) for the parity-COMPRESSED
+    kernel, keyed by the compressed lane count kc = K/2 (the vector
+    width actually in play).  One stream window lane feeds TWO
+    anti-diagonal steps, so the refill window covers 2*w steps."""
+    if kc <= 256:
+        tb = 64
+    elif kc <= 8192:
+        tb = 16
+    else:
+        tb = 8
+    d = PLANE_BYTES_MAX // (tb * kc)
+    d = 1 << max(d.bit_length() - 1, 0)
+    d = max(8, min(256, d))
+    d = min(d, max(2 * l_pad, 8))
+    w = max(d // 2, LANES)
+    return tb, d, w
 
 
 def _tiles_for(k_width: int, l_pad: int):
@@ -109,6 +130,291 @@ def _roll_rows(x, shifts, width):
         rolled = jnp.roll(x, amt, axis=1)
         x = jnp.where(((s >> bit) & 1) == 1, rolled, x)
     return x
+
+
+def _kc_pad(k_width: int) -> int:
+    """Compressed lane count: ceil(K/2) rounded up to the lane rule."""
+    return max(LANES, -(-(k_width // 2) // LANES) * LANES)
+
+
+def _precompute_streams_c2(qs, ts, qlens, tlens, k_width, l_pad):
+    """Stream precompute for the parity-compressed kernel.
+
+    With k0 even-aligned (dense._band_geometry), the compressed lane c
+    of parity p holds diagonal k = k0 + 2c + p, and the base-register
+    formulas collapse: QB[c] = rq[qlen - m + c] with m = (d - k0) >> 1
+    (advances once per step PAIR, at even steps), TB[c] = t[m' - 1 + c]
+    with m' = (d + k0) >> 1 rounded so TB advances at odd steps — both
+    parities read the SAME register lanes, so the hot loop needs no
+    per-parity base shifts at all.  The entering-byte streams are the
+    raw padded sequences under a per-row circular shift (q for heads,
+    t for tails) — no repeat-2, half the stream bytes of the
+    uncompressed layout."""
+    K = k_width
+    KC = _kc_pad(K)
+    L = qs.shape[1]  # l_pad_eff
+    k_end, k0, slack = _band_geometry(qlens, tlens, K)
+    h0 = k0 // 2  # exact: k0 is even
+
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(qlens[:, None] - 1 - idx, 0, L - 1)
+    rq = jnp.take_along_axis(qs, rev_idx, axis=1)
+
+    # live registers at d=0: QB[c] = rq[(qlen + h0 + c) mod L],
+    # TB[c] = t[(h0 + c - 1) mod L] (pre-first-advance state; wrapped
+    # values land only on lanes that are inactive when read)
+    qb0_full = _roll_rows(rq, -(qlens + h0), L)
+    tb0_full = _roll_rows(ts, 1 - h0, L)
+    if KC > L:
+        reps = -(-KC // L)
+        qb0_full = jnp.tile(qb0_full, (1, reps))
+        tb0_full = jnp.tile(tb0_full, (1, reps))
+    qb0 = qb0_full[:, :KC]
+    tb0 = tb0_full[:, :KC]
+
+    # entering-byte streams, one entry per step pair:
+    #   heads[w] = q[(w - h0) mod L]   (enters QB lane 0 at even steps)
+    #   tails[w] = t[(w + h0 + KC - 1) mod L] (enters TB lane KC-1, odd)
+    q_heads = _roll_rows(qs, h0, L)
+    t_tails = _roll_rows(ts, 1 - h0 - KC, L)
+
+    return (
+        qb0.astype(jnp.int32),
+        tb0.astype(jnp.int32),
+        q_heads.astype(jnp.int32),
+        t_tails.astype(jnp.int32),
+        k0,
+        k_end,
+        slack,
+    )
+
+
+def run_dp_chunk_c2(
+    qlens_ref,
+    tlens_ref,
+    k0_ref,
+    qheads_ref,
+    ttails_ref,
+    choices_ref,
+    runs_ref,
+    # per-parity band scratch: *_e holds even diagonals (k = k0 + 2c),
+    # *_o the odd (k = k0 + 2c + 1) — separate refs so every vector op
+    # runs on a clean (TB, KC) operand
+    se_ref,
+    so_ref,
+    i1e_ref,
+    i1o_ref,
+    d1e_ref,
+    d1o_ref,
+    i2e_ref,
+    i2o_ref,
+    d2e_ref,
+    d2o_ref,
+    qb_ref,
+    tb_ref,
+    rune_ref,
+    runo_ref,
+    *,
+    pen: Penalties,
+    k_width: int,
+    d_chunk: int,
+    with_choices: bool,
+    d_base,  # traced scalar: global anti-diagonal index of chunk start
+    stream_period: int,  # window lanes per refill (covers 2*period steps)
+    local_base=None,
+):
+    """Parity-COMPRESSED d_chunk-step DP sweep (d_chunk/2 step pairs).
+
+    Each loop iteration does one odd step (updates the odd-parity
+    bands, reading the even bands as step d-1) then one even step
+    (reading the just-updated odd bands) — every vector op runs at
+    half the uncompressed width, and only ONE neighbour roll per gap
+    side per step instead of two."""
+    KC = se_ref.shape[1]
+    TB = se_ref.shape[0]
+    K = k_width
+    W = stream_period
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, KC), 1)
+    k0 = k0_ref[:, :1]
+    ks_e = k0 + 2 * lane
+    ks_o = ks_e + 1
+    q2 = 2 * qlens_ref[:, :1]
+    t2 = 2 * tlens_ref[:, :1]
+    inf = jnp.int32(INF)
+    tb_w = tb_ref.shape[1]
+
+    phase = d_base if local_base is None else local_base
+
+    @pl.when(jax.lax.rem(phase // 2, W) == 0)
+    def _refill():
+        qb_ref[:, :W] = qheads_ref[:]
+        tb_ref[:, KC:] = ttails_ref[:]
+
+    o1e1 = jnp.int32(pen.o1 + pen.e1)
+    e1 = jnp.int32(pen.e1)
+    o2e2 = jnp.int32(pen.o2 + pen.e2) if pen.two_piece else jnp.int32(0)
+    e2 = jnp.int32(pen.e2) if pen.two_piece else jnp.int32(0)
+    x = jnp.int32(pen.x)
+
+    def _gap_pair(s_nb, ext_prev, opn_pen, ext_pen):
+        opn_v = s_nb + opn_pen
+        ext_v = ext_prev + ext_pen
+        return jnp.minimum(opn_v, ext_v), ext_v <= opn_v
+
+    def _finish(
+        d,
+        ks,
+        s_prev,
+        diag_ok,
+        is_match,
+        gaps,  # (i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext)
+        refs,  # (s_ref, i1_ref, d1_ref, i2_ref, d2_ref, run_ref) of this parity
+        j_local,
+        in_band,
+    ):
+        i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext = gaps
+        s_ref, i1_ref, d1_ref, i2_ref, d2_ref, run_ref = refs
+        best_gap = jnp.minimum(i1_new, d1_new)
+        if pen.two_piece:
+            best_gap = jnp.minimum(best_gap, jnp.minimum(i2_new, d2_new))
+        sub_cost = jnp.where(is_match, 0, x)
+        diag = jnp.where(diag_ok, s_prev + sub_cost, inf)
+        s_new = jnp.minimum(diag, best_gap)
+        lo = jnp.maximum(d - q2, -d)
+        hi = jnp.minimum(t2 - d, d)
+        active = (ks >= lo) & (ks <= hi) & in_band
+
+        if with_choices:
+            diag_hit = (diag == s_new) & diag_ok
+            choice = jnp.full((TB, KC), S_DIAG_MATCH, jnp.int32)
+            if pen.two_piece:
+                choice = jnp.where(d2_new == s_new, jnp.int32(S_D2), choice)
+            choice = jnp.where(d1_new == s_new, jnp.int32(S_D1), choice)
+            if pen.two_piece:
+                choice = jnp.where(i2_new == s_new, jnp.int32(S_I2), choice)
+            choice = jnp.where(i1_new == s_new, jnp.int32(S_I1), choice)
+            choice = jnp.where(
+                diag_hit & jnp.logical_not(is_match),
+                jnp.int32(S_DIAG_MISMATCH),
+                choice,
+            )
+            packed = (
+                choice
+                | (i1_ext.astype(jnp.int32) << 3)
+                | (d1_ext.astype(jnp.int32) << 4)
+                | (i2_ext.astype(jnp.int32) << 5)
+                | (d2_ext.astype(jnp.int32) << 6)
+            )
+            runlen = run_ref[:]
+            is_run = choice == jnp.int32(S_DIAG_MATCH)
+            inc = jnp.minimum(runlen, 254) + 1
+            new_run = jnp.where(is_run, inc, 0)
+            choices_ref[j_local] = packed.astype(jnp.uint8)
+            runs_ref[j_local] = new_run.astype(jnp.uint8)
+            run_ref[:] = jnp.where(active, new_run, runlen)
+
+        s_ref[:] = jnp.where(active, s_new, s_prev)
+        i1_ref[:] = jnp.where(active, i1_new, i1_ref[:])
+        d1_ref[:] = jnp.where(active, d1_new, d1_ref[:])
+        if pen.two_piece:
+            i2_ref[:] = jnp.where(active, i2_new, i2_ref[:])
+            d2_ref[:] = jnp.where(active, d2_new, d2_ref[:])
+
+    def pair(jj, _):
+        d_o = d_base + 2 * jj + 1
+        d_e = d_o + 1
+        in_band = lane < (K // 2)  # padded lanes (KC > K/2) never activate
+        # odd-step D-side reads even diagonal 2c+2: out of band past K-2
+        dfill = lane >= (K // 2) - 1
+        lane0 = lane == 0
+
+        # ---- ODD step: update the odd-parity bands ----------------------
+        # advance target tails (one byte per pair enters at lane KC-1)
+        tb_ext = pltpu.roll(tb_ref[:], shift=tb_w - 1, axis=1)
+        tb_ref[:] = tb_ext
+        tbv = tb_ext[:, :KC]
+        qbv = qb_ref[:, W:]
+
+        se = se_ref[:]  # S_{d-1} (even lanes)
+        so_prev = so_ref[:]  # S_{d-2} (odd lanes, pre-update)
+        # neighbour j-1 = 2c -> even[c] (no shift); j+1 = 2c+2 -> even[c+1]
+        up = lambda a: jnp.where(dfill, inf, pltpu.roll(a, shift=KC - 1, axis=1))
+        s_up = up(se)
+        i1_new, i1_ext = _gap_pair(se, i1e_ref[:], o1e1, e1)
+        d1_new, d1_ext = _gap_pair(s_up, up(d1e_ref[:]), o1e1, e1)
+        if pen.two_piece:
+            i2_new, i2_ext = _gap_pair(se, i2e_ref[:], o2e2, e2)
+            d2_new, d2_ext = _gap_pair(s_up, up(d2e_ref[:]), o2e2, e2)
+        else:
+            i2_new, d2_new = i2o_ref[:], d2o_ref[:]
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+        diag_ok = (ks_o <= d_o - 2) & (ks_o >= 2 - d_o)
+        _finish(
+            d_o,
+            ks_o,
+            so_prev,
+            diag_ok,
+            qbv == tbv,
+            (i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext),
+            (so_ref, i1o_ref, d1o_ref, i2o_ref, d2o_ref, runo_ref),
+            2 * jj,
+            in_band,
+        )
+
+        # ---- EVEN step: update the even-parity bands --------------------
+        # advance query heads (one byte per pair enters at lane W)
+        qb_ext = pltpu.roll(qb_ref[:], shift=1, axis=1)
+        qb_ref[:] = qb_ext
+        qbv_e = qb_ext[:, W:]
+
+        so = so_ref[:]  # S_{d-1} (odd lanes, just updated)
+        se_prev = se_ref[:]  # S_{d-2} (even lanes)
+        # neighbour j-1 = 2c-1 -> odd[c-1]; j+1 = 2c+1 -> odd[c] (no shift)
+        down = lambda a: jnp.where(lane0, inf, pltpu.roll(a, shift=1, axis=1))
+        s_dn = down(so)
+        i1_new, i1_ext = _gap_pair(s_dn, down(i1o_ref[:]), o1e1, e1)
+        d1_new, d1_ext = _gap_pair(so, d1o_ref[:], o1e1, e1)
+        if pen.two_piece:
+            i2_new, i2_ext = _gap_pair(s_dn, down(i2o_ref[:]), o2e2, e2)
+            d2_new, d2_ext = _gap_pair(so, d2o_ref[:], o2e2, e2)
+        else:
+            i2_new, d2_new = i2e_ref[:], d2e_ref[:]
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+        diag_ok = (ks_e <= d_e - 2) & (ks_e >= 2 - d_e)
+        _finish(
+            d_e,
+            ks_e,
+            se_prev,
+            diag_ok,
+            qbv_e == tbv,
+            (i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext),
+            (se_ref, i1e_ref, d1e_ref, i2e_ref, d2e_ref, rune_ref),
+            2 * jj + 1,
+            in_band,
+        )
+        return 0
+
+    # 2x pair unroll (4 anti-diagonal steps per loop iteration) keeps
+    # the VPU fed across the odd->even dependency chain
+    def _pair2(jj, _):
+        pair(2 * jj, 0)
+        pair(2 * jj + 1, 0)
+        return 0
+
+    if d_chunk % 4 == 0:
+        jax.lax.fori_loop(0, d_chunk // 4, _pair2, 0)
+    else:
+        jax.lax.fori_loop(0, d_chunk // 2, pair, 0)
+
+    # overflow clamp once per chunk (see run_dp_chunk for the proof)
+    for r in (se_ref, so_ref, i1e_ref, i1o_ref, d1e_ref, d1o_ref):
+        r[:] = jnp.minimum(r[:], inf)
+    if pen.two_piece:
+        for r in (i2e_ref, i2o_ref, d2e_ref, d2o_ref):
+            r[:] = jnp.minimum(r[:], inf)
 
 
 def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad, d_chunk):
@@ -172,6 +478,81 @@ def _precompute_streams(qs, ts, qlens, tlens, k_width, l_pad, d_chunk):
         k_end,
         slack,
     )
+
+
+def _kernel(
+    qlens_ref,
+    tlens_ref,
+    k0_ref,
+    qb0_ref,
+    tb0_ref,
+    qheads_ref,
+    ttails_ref,
+    # outputs
+    sout_ref,
+    choices_ref,
+    runs_ref,
+    # scratch
+    s_ref,
+    i1_ref,
+    d1_ref,
+    i2_ref,
+    d2_ref,
+    qb_ref,  # (TB, W+K): lanes [0:W] = reversed future heads, [W:] = band
+    tb_ref,  # (TB, K+W): lanes [0:K] = band, [K:] = future tails
+    run_ref,
+    *,
+    pen: Penalties,
+    d_chunk: int,
+    with_choices: bool,
+    stream_period: int = 0,
+):
+    K = s_ref.shape[1]
+    TB = s_ref.shape[0]
+    W = stream_period or d_chunk
+    dch = pl.program_id(1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
+    k0 = k0_ref[:, :1]
+    ks = k0 + lane
+    inf = jnp.int32(INF)
+
+    @pl.when(dch == 0)
+    def _init():
+        s_ref[:] = jnp.where(ks == 0, 0, inf)
+        i1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        d1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        i2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        d2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        qb_ref[:, W:] = qb0_ref[:]
+        tb_ref[:, :K] = tb0_ref[:]
+        run_ref[:] = jnp.zeros((TB, K), jnp.int32)
+
+    run_dp_chunk(
+        qlens_ref,
+        tlens_ref,
+        k0_ref,
+        qheads_ref,
+        ttails_ref,
+        choices_ref,
+        runs_ref,
+        s_ref,
+        i1_ref,
+        d1_ref,
+        i2_ref,
+        d2_ref,
+        qb_ref,
+        tb_ref,
+        run_ref,
+        pen=pen,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        d_base=dch * d_chunk,
+        stream_period=stream_period,
+    )
+    sout_ref[:] = s_ref[:]
+
+
 
 
 def run_dp_chunk(
@@ -372,7 +753,7 @@ def run_dp_chunk(
         d2_ref[:] = jnp.minimum(d2_ref[:], inf)
 
 
-def _kernel(
+def _kernel_c2(
     qlens_ref,
     tlens_ref,
     k0_ref,
@@ -381,46 +762,53 @@ def _kernel(
     qheads_ref,
     ttails_ref,
     # outputs
-    sout_ref,
+    sout_ref,  # (TB, 2*KC): [0:KC] even-parity S, [KC:] odd
     choices_ref,
     runs_ref,
     # scratch
-    s_ref,
-    i1_ref,
-    d1_ref,
-    i2_ref,
-    d2_ref,
-    qb_ref,  # (TB, W+K): lanes [0:W] = reversed future heads, [W:] = band
-    tb_ref,  # (TB, K+W): lanes [0:K] = band, [K:] = future tails
-    run_ref,
+    se_ref,
+    so_ref,
+    i1e_ref,
+    i1o_ref,
+    d1e_ref,
+    d1o_ref,
+    i2e_ref,
+    i2o_ref,
+    d2e_ref,
+    d2o_ref,
+    qb_ref,  # (TB, W+KC): lanes [0:W] = reversed future heads, [W:] = live
+    tb_ref,  # (TB, KC+W): lanes [0:KC] = live, [KC:] = future tails
+    rune_ref,
+    runo_ref,
     *,
     pen: Penalties,
+    k_width: int,
     d_chunk: int,
     with_choices: bool,
-    stream_period: int = 0,
+    stream_period: int,
 ):
-    K = s_ref.shape[1]
-    TB = s_ref.shape[0]
-    W = stream_period or d_chunk
+    KC = se_ref.shape[1]
+    TB = se_ref.shape[0]
+    W = stream_period
     dch = pl.program_id(1)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, K), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, KC), 1)
     k0 = k0_ref[:, :1]
-    ks = k0 + lane
+    ks_e = k0 + 2 * lane
     inf = jnp.int32(INF)
 
     @pl.when(dch == 0)
     def _init():
-        s_ref[:] = jnp.where(ks == 0, 0, inf)
-        i1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        d1_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        i2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
-        d2_ref[:] = jnp.full((TB, K), inf, jnp.int32)
+        se_ref[:] = jnp.where(ks_e == 0, 0, inf)
+        for r in (so_ref, i1e_ref, i1o_ref, d1e_ref, d1o_ref, i2e_ref,
+                  i2o_ref, d2e_ref, d2o_ref):
+            r[:] = jnp.full((TB, KC), inf, jnp.int32)
         qb_ref[:, W:] = qb0_ref[:]
-        tb_ref[:, :K] = tb0_ref[:]
-        run_ref[:] = jnp.zeros((TB, K), jnp.int32)
+        tb_ref[:, :KC] = tb0_ref[:]
+        rune_ref[:] = jnp.zeros((TB, KC), jnp.int32)
+        runo_ref[:] = jnp.zeros((TB, KC), jnp.int32)
 
-    run_dp_chunk(
+    run_dp_chunk_c2(
         qlens_ref,
         tlens_ref,
         k0_ref,
@@ -428,21 +816,43 @@ def _kernel(
         ttails_ref,
         choices_ref,
         runs_ref,
-        s_ref,
-        i1_ref,
-        d1_ref,
-        i2_ref,
-        d2_ref,
+        se_ref,
+        so_ref,
+        i1e_ref,
+        i1o_ref,
+        d1e_ref,
+        d1o_ref,
+        i2e_ref,
+        i2o_ref,
+        d2e_ref,
+        d2o_ref,
         qb_ref,
         tb_ref,
-        run_ref,
+        rune_ref,
+        runo_ref,
         pen=pen,
+        k_width=k_width,
         d_chunk=d_chunk,
         with_choices=with_choices,
         d_base=dch * d_chunk,
         stream_period=stream_period,
     )
-    sout_ref[:] = s_ref[:]
+    sout_ref[:, :KC] = se_ref[:]
+    sout_ref[:, KC:] = so_ref[:]
+
+
+#: narrow bands run the uncompressed kernel - measured on v5e the
+#: per-step fixed cost of the compressed step pair only amortizes once
+#: the lane saving is >= 128 lanes (K >= 384); below that the
+#: uncompressed kernel is ~1.2x faster
+C2_MIN_K = 384
+
+
+def uses_compressed_planes(k_width: int) -> bool:
+    """True when dense_forward_pallas emits parity-compressed choice
+    planes for this band width (callers pass compressed= to
+    dense_traceback accordingly)."""
+    return k_width >= C2_MIN_K
 
 
 @functools.partial(
@@ -462,11 +872,195 @@ def dense_forward_pallas(
 ):
     """Drop-in replacement for dense.dense_forward (same returns).
 
+    Statically routes by band width: K < C2_MIN_K runs the classic
+    full-width kernel (choices planes (2*l_pad_eff, B, K)); wider bands
+    run the parity-COMPRESSED kernel whose planes are (.., B, ~K/2) —
+    see uses_compressed_planes() and dense_traceback(compressed=...)."""
+    if uses_compressed_planes(k_width):
+        return _forward_c2(
+            qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret
+        )
+    return _forward_u(
+        qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret
+    )
+
+
+def _forward_c2(
+    qs: jnp.ndarray,
+    ts: jnp.ndarray,
+    qlens: jnp.ndarray,
+    tlens: jnp.ndarray,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    with_choices: bool = False,
+    interpret: bool = False,
+):
+    """Drop-in replacement for dense.dense_forward (same returns).
+
     B is padded internally to a multiple of B_TILE and l_pad up to
     D_CHUNK/2; k_width must be a multiple of 128. The choices planes
     come back shaped (2*l_pad_eff, B, K) — dense_traceback addresses
     them by (d, row, col) so the extra padded steps are simply never
     visited."""
+    B0 = qs.shape[0]
+    K = k_width
+    if K % LANES:
+        raise ValueError(f"k_width must be a multiple of {LANES}, got {K}")
+    if K > K_MAX_C2:
+        raise ValueError(
+            f"k_width {K} > {K_MAX_C2}: use the XLA engine for bands this wide"
+        )
+    KC = _kc_pad(K)
+    tb, d_chunk, period = _tiles_for_c2(KC, max(l_pad, 4))
+    # streams hold ONE entry per step pair -> l_pad_eff entries total;
+    # must tile into whole `period`-lane refill windows
+    l_pad_eff = -(-max(l_pad, period, d_chunk // 2) // period) * period
+    if l_pad_eff != l_pad:
+        padc = jnp.zeros((B0, l_pad_eff - l_pad), jnp.uint8)
+        qs = jnp.concatenate([qs, padc], 1)
+        ts = jnp.concatenate([ts, padc], 1)
+    B = ((B0 + tb - 1) // tb) * tb
+    if B != B0:
+        padq = jnp.zeros((B - B0, l_pad_eff), jnp.uint8)
+        qs = jnp.concatenate([qs, padq], 0)
+        ts = jnp.concatenate([ts, padq], 0)
+        padl = jnp.zeros((B - B0,), jnp.int32)
+        qlens = jnp.concatenate([qlens, padl], 0)
+        tlens = jnp.concatenate([tlens, padl], 0)
+
+    D2 = 2 * l_pad_eff
+    nd = D2 // d_chunk
+    nb = B // tb
+
+    qb0, tb0, q_heads, t_tails, k0, k_end, slack = _precompute_streams_c2(
+        qs, ts, qlens, tlens, K, l_pad_eff
+    )
+    # reverse each refill window of the head stream (fed via roll-right)
+    nw = l_pad_eff // period
+    q_heads_rev = q_heads.reshape(B, nw, period)[:, :, ::-1].reshape(
+        B, l_pad_eff
+    )
+
+    meta_spec = pl.BlockSpec(
+        (tb, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    reg_spec = pl.BlockSpec(
+        (tb, KC), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    band2_spec = pl.BlockSpec(
+        (tb, 2 * KC), lambda b, d: (b, 0), memory_space=pltpu.VMEM
+    )
+    stream_spec = pl.BlockSpec(
+        (tb, period),
+        lambda b, d: (b, (d * (d_chunk // 2)) // period),
+        memory_space=pltpu.VMEM,
+    )
+
+    out_shapes = [jax.ShapeDtypeStruct((B, 2 * KC), jnp.int32)]
+    out_specs = [band2_spec]
+    if with_choices:
+        plane_spec = pl.BlockSpec(
+            (d_chunk, tb, KC),
+            lambda b, d: (d, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shapes += [
+            jax.ShapeDtypeStruct((D2, B, KC), jnp.uint8),
+            jax.ShapeDtypeStruct((D2, B, KC), jnp.uint8),
+        ]
+        out_specs += [plane_spec, plane_spec]
+    else:
+        dummy_spec = pl.BlockSpec(
+            (1, tb, KC), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
+        )
+        out_shapes += [
+            jax.ShapeDtypeStruct((1, B, KC), jnp.uint8),
+            jax.ShapeDtypeStruct((1, B, KC), jnp.uint8),
+        ]
+        out_specs += [dummy_spec, dummy_spec]
+
+    kernel = functools.partial(
+        _kernel_c2,
+        pen=pen,
+        k_width=K,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        stream_period=period,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nd),
+        in_specs=[
+            meta_spec,
+            meta_spec,
+            meta_spec,
+            reg_spec,
+            reg_spec,
+            stream_spec,
+            stream_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((tb, KC), jnp.int32)] * 10  # 5 bands x 2 parities
+        + [
+            pltpu.VMEM((tb, period + KC), jnp.int32),  # qb ext register
+            pltpu.VMEM((tb, KC + period), jnp.int32),  # tb ext register
+            pltpu.VMEM((tb, KC), jnp.int32),  # runlen even
+            pltpu.VMEM((tb, KC), jnp.int32),  # runlen odd
+        ],
+        interpret=interpret,
+    )(
+        qlens[:, None].astype(jnp.int32),
+        tlens[:, None].astype(jnp.int32),
+        k0[:, None].astype(jnp.int32),
+        qb0,
+        tb0,
+        q_heads_rev,
+        t_tails,
+    )
+    s_final = outs[0]
+
+    c_end = jnp.clip(k_end - k0, 0, K - 1)
+    c_end_packed = (c_end & 1) * KC + (c_end >> 1)
+    scores = jnp.take_along_axis(s_final, c_end_packed[:, None], axis=1)[:, 0]
+    feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= D2)
+    scores = jnp.where(feasible, scores, INF)
+    scores = jnp.minimum(scores, INF)
+
+    w = jnp.maximum(slack, 0)
+    # exit-and-return bound: a band-escaping global path needs >= W+1
+    # gap bases on the way out AND >= W+1 on the way back, each side
+    # costing at least g(W+1) = min(o1+(W+1)e1, o2+(W+1)e2) no matter
+    # how the bases split into runs (more runs = more opens)
+    n = w + 1
+    esc = 2 * jnp.minimum(
+        pen.o1 + n * pen.e1,
+        (pen.o2 + n * pen.e2) if pen.two_piece else pen.o1 + n * pen.e1,
+    )
+    # full-matrix band == unbanded DP: certify unconditionally
+    full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
+    certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
+
+    scores = scores[:B0]
+    certificate = certificate[:B0]
+    if with_choices:
+        return scores, certificate, (outs[1][:, :B0], outs[2][:, :B0])
+    return scores, certificate, None
+
+
+def _forward_u(
+    qs: jnp.ndarray,
+    ts: jnp.ndarray,
+    qlens: jnp.ndarray,
+    tlens: jnp.ndarray,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    with_choices: bool = False,
+    interpret: bool = False,
+):
+    """The classic uncompressed kernel path (planes at full K width)."""
     B0 = qs.shape[0]
     K = k_width
     if K % LANES:

@@ -58,7 +58,16 @@ def test_pallas_forward_matches_xla(scores_str):
 
     run_cap = 2 * l_pad + 8
     ta = D_.dense_traceback(cha, sa, args[2], args[3], pen, run_cap)
-    tp = D_.dense_traceback(chp, sp, args[2], args[3], pen, run_cap)
+    tp = D_.dense_traceback(
+        chp,
+        sp,
+        args[2],
+        args[3],
+        pen,
+        run_cap,
+        k_width=K,
+        compressed=P_.uses_compressed_planes(K),
+    )
     for xa, xp in zip(ta, tp):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
 
