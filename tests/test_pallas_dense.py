@@ -72,6 +72,32 @@ def test_pallas_forward_matches_xla(scores_str):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
 
 
+@pytest.mark.parametrize("K,l_pad,div", [(384, 256, 0.15), (512, 128, 0.2)])
+def test_pallas_compressed_matches_xla(K, l_pad, div):
+    """K >= C2_MIN_K routes to the parity-compressed kernel — planes are
+    ~K/2 wide, traceback uses compressed addressing; results must stay
+    bit-identical to the XLA engine (covers the KC padding case K=384
+    -> KC=256 and the band-wider-than-matrix case K=512, l_pad=128)."""
+    assert P_.uses_compressed_planes(K)
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    rng = np.random.RandomState(17)
+    qs, ts, qlens, tlens = _random_batch(rng, 5, (l_pad * 3) // 4, l_pad, div)
+    args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
+    sa, ca, cha = D_.dense_forward(*args, pen, K, l_pad, True)
+    sp, cp, chp = P_.dense_forward_pallas(
+        *args, pen, K, l_pad, True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cp))
+    run_cap = 2 * l_pad + 8
+    ta = D_.dense_traceback(cha, sa, args[2], args[3], pen, run_cap)
+    tp = D_.dense_traceback(
+        chp, sp, args[2], args[3], pen, run_cap, k_width=K, compressed=True
+    )
+    for xa, xp in zip(ta, tp):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
+
+
 def test_pallas_pads_batch_and_length():
     """B not a multiple of 32 and l_pad < 128 are padded internally."""
     pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
