@@ -228,10 +228,15 @@ def dense_forward(
             is_run = choice == jnp.uint8(S_DIAG_MATCH)
             inc = jnp.minimum(runlen, jnp.uint8(254)) + jnp.uint8(1)
             new_run = jnp.where(is_run, inc, jnp.uint8(0))
-            y = (packed, new_run)
+            # ONE merged u16 plane (low byte: packed choice/ext bits,
+            # high byte: run length): the traceback pays one random
+            # HBM gather per hop instead of two
+            y = packed.astype(jnp.uint16) | (
+                new_run.astype(jnp.uint16) << 8
+            )
         else:
             new_run = runlen
-            y = (jnp.zeros((B, 1), jnp.uint8), jnp.zeros((B, 1), jnp.uint8))
+            y = jnp.zeros((B, 1), jnp.uint16)
 
         clamp = lambda a: jnp.minimum(a, INF)
         s_out = jnp.where(active, clamp(s_new), s_prev)
@@ -245,7 +250,7 @@ def dense_forward(
 
     ds = jnp.arange(1, 2 * l_pad + 1, dtype=jnp.int32)
     # unroll to amortize per-step loop overhead (dominant at small B*K)
-    carry, (choices, runlens) = jax.lax.scan(
+    carry, choices = jax.lax.scan(
         step, (s0, gap0, gap0, gap0, gap0, qb, tb, run0), ds, unroll=4
     )
     s_final = carry[0]
@@ -275,7 +280,7 @@ def dense_forward(
     full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
     certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
 
-    return scores, certificate, ((choices, runlens) if with_choices else None)
+    return scores, certificate, (choices if with_choices else None)
 
 
 # --------------------------------------------------------------------------
@@ -394,7 +399,7 @@ def dense_align_packed(
     jax.jit, static_argnames=("pen", "run_cap", "k_width", "compressed")
 )
 def dense_traceback(
-    choices_runs,  # tuple: ((2*l_pad, B, Kp) uint8 choices, same-shape uint8 runlens)
+    choices_runs,  # (2*l_pad, B, Kp) uint16 merged plane (low byte: choice/ext bits, high: run length)
     scores: jnp.ndarray,
     qlens: jnp.ndarray,
     tlens: jnp.ndarray,
@@ -417,7 +422,7 @@ def dense_traceback(
     (k - k0) >> 1 (every cell a valid traceback visits has k ≡ d mod 2,
     so the mapping is total); k_width is then the NOMINAL band width
     (the plane is ceil(K/2) lanes wide, lane-rounded)."""
-    choices, runlens = choices_runs
+    choices = choices_runs
     D2, B, KP = choices.shape
     K = k_width or KP
     k_end, k0, _ = _band_geometry(qlens, tlens, K)
@@ -431,31 +436,34 @@ def dense_traceback(
         cp = (c >> 1) if compressed else c
         dd = jnp.clip(d - 1, 0, D2 - 1)
         cc = jnp.clip(cp, 0, KP - 1)
-        byte = jnp.where(d_ok & c_ok, choices[dd, rows, cc], jnp.uint8(0))
-        run = jnp.where(d_ok & c_ok, runlens[dd, rows, cc], jnp.uint8(0))
+        v = jnp.where(d_ok & c_ok, choices[dd, rows, cc], jnp.uint16(0))
+        byte = (v & 0xFF).astype(jnp.uint8)
+        run = (v >> 8).astype(jnp.uint8)
         return byte, run
 
-    # lens fit uint8: match runs are bulk-capped at 255, X/gap runs are 1
-    ops0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
-    lens0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
-    nrun0 = jnp.zeros((B,), dtype=jnp.int32)
+    # Walk state. The run being built rides the CARRY as (cur_op,
+    # cur_len) instead of living in the buffers: per-hop buffer
+    # gather/scatter was ~0.4 ms each on a 2048-pair batch (random HBM
+    # access), dominating the whole traceback. Completed runs stream
+    # out of a fixed-length inner scan as dense per-iteration logs and
+    # are packed into the run buffers with ONE batched scatter per
+    # CHUNK of hops.
+    CHUNK = 32
 
     d0 = (qlens + tlens).astype(jnp.int32)
     c0 = jnp.clip(k_end - k0, 0, K - 1).astype(jnp.int32)
     comp0 = jnp.zeros((B,), jnp.int32)  # 0=S, 1=I1, 2=D1, 3=I2, 4=D2
     active0 = (scores < INF) & (d0 > 0)
+
+    ops0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
+    lens0 = jnp.zeros((B, run_cap), dtype=jnp.uint8)
+    nrun0 = jnp.zeros((B,), dtype=jnp.int32)
     overflow0 = jnp.zeros((B,), jnp.bool_)
+    cur_op0 = jnp.zeros((B,), jnp.uint8)
+    cur_len0 = jnp.zeros((B,), jnp.int32)
 
-    # every second iteration moves d back by >= 1 -> bound; bulk skips
-    # only shrink this
-    max_iters = 2 * int(D2) + 8
-
-    def cond(carry):
-        d, c, comp, active, ops, lens, nrun, overflow, it = carry
-        return jnp.any(active) & (it < max_iters)
-
-    def body(carry):
-        d, c, comp, active, ops, lens, nrun, overflow, it = carry
+    def hop(carry, _):
+        d, c, comp, active, cur_op, cur_len = carry
         byte, run = fetch(d, c)
         src = (byte & 7).astype(jnp.int32)
 
@@ -467,7 +475,6 @@ def dense_traceback(
         to_gap = jnp.where(
             src == S_I1, 1, jnp.where(src == S_D1, 2, jnp.where(src == S_I2, 3, 4))
         )
-
         is_i = (comp == 1) | (comp == 3)
         is_d = (comp == 2) | (comp == 4)
         ext_bit = jnp.where(
@@ -480,9 +487,6 @@ def dense_traceback(
             ),
         ).astype(jnp.bool_)
 
-        # ---- single merged emit; adjacent same-op runs coalesce (gap
-        # walks emit one base per iteration — without merging, a single
-        # long deletion would burn one run slot per base) ----
         emit_op = jnp.where(
             is_match_run,
             jnp.uint8(_OP_M),
@@ -494,23 +498,17 @@ def dense_traceback(
         )
         emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.int32)
         do_emit = active & (is_match_run | is_x | is_i | is_d)
-        prev_idx = jnp.clip(nrun - 1, 0, run_cap - 1)
-        prev_op = ops[rows, prev_idx]
-        prev_len = lens[rows, prev_idx].astype(jnp.int32)
-        can_merge = (
-            (nrun > 0) & (prev_op == emit_op) & (prev_len + emit_len <= 255)
-        )
-        idx = jnp.where(can_merge, prev_idx, jnp.clip(nrun, 0, run_cap - 1))
-        new_len = jnp.where(can_merge, prev_len + emit_len, emit_len).astype(
-            jnp.uint8
-        )
-        ops = ops.at[rows, idx].set(jnp.where(do_emit, emit_op, ops[rows, idx]))
-        lens = lens.at[rows, idx].set(
-            jnp.where(do_emit, new_len, lens[rows, idx])
-        )
-        nrun = nrun + (do_emit & ~can_merge).astype(jnp.int32)
 
-        # ---- state transitions ----
+        # merge into the carried run; a completed run flushes to the log
+        same = (cur_len > 0) & (cur_op == emit_op) & (cur_len + emit_len <= 255)
+        flush = do_emit & (cur_len > 0) & jnp.logical_not(same)
+        log_op, log_len = cur_op, cur_len
+        cur_op = jnp.where(do_emit, emit_op, cur_op)
+        cur_len = jnp.where(
+            do_emit, jnp.where(same, cur_len + emit_len, emit_len), cur_len
+        )
+
+        # state transitions
         d_s = jnp.where(is_match_run, d - 2 * run_i, jnp.where(is_x, d - 2, d))
         comp_s = jnp.where(is_match_run | is_x, 0, to_gap)
         d_g = d - 1
@@ -521,17 +519,51 @@ def dense_traceback(
         new_c = jnp.where(is_s, c, c_g)
         new_comp = jnp.where(is_s, comp_s, comp_g)
 
-        overflow = overflow | (active & (nrun >= run_cap))
         finished = active & (new_d <= 0)
-        active = active & (~finished) & (~overflow)
-
+        active = active & jnp.logical_not(finished)
         d = jnp.where(active, new_d, d)
         c = jnp.where(active, new_c, c)
         comp = jnp.where(active, new_comp, comp)
-        return (d, c, comp, active, ops, lens, nrun, overflow, it + 1)
+        return (d, c, comp, active, cur_op, cur_len), (flush, log_op, log_len)
 
-    carry = (d0, c0, comp0, active0, ops0, lens0, nrun0, overflow0, jnp.int32(0))
+    max_chunks = (2 * int(D2) + 8 + CHUNK - 1) // CHUNK + 1
+
+    def cond(carry):
+        (_, _, _, active, _, _, _, _, _, _, it) = carry
+        return jnp.any(active) & (it < max_chunks)
+
+    def body(carry):
+        d, c, comp, active, cur_op, cur_len, ops, lens, nrun, overflow, it = carry
+        (d, c, comp, active, cur_op, cur_len), (fl, fo, fln) = jax.lax.scan(
+            hop, (d, c, comp, active, cur_op, cur_len), None, length=CHUNK
+        )
+        # pack the chunk's flushed runs: one batched scatter (indices
+        # are unique per pair — positions strictly increase)
+        inc = fl.astype(jnp.int32)  # (CHUNK, B)
+        pos = nrun[None, :] + jnp.cumsum(inc, axis=0) - inc
+        oob = fl & (pos >= run_cap)
+        idx = jnp.where(fl & (pos < run_cap), pos, run_cap)  # run_cap = dropped
+        rows2 = jnp.broadcast_to(rows[None, :], idx.shape)
+        ops = ops.at[rows2, idx].set(fo, mode="drop")
+        lens = lens.at[rows2, idx].set(fln.astype(jnp.uint8), mode="drop")
+        nrun = nrun + inc.sum(0)
+        overflow = overflow | jnp.any(oob, axis=0)
+        return (d, c, comp, active, cur_op, cur_len, ops, lens, nrun, overflow, it + 1)
+
+    carry = (
+        d0, c0, comp0, active0, cur_op0, cur_len0,
+        ops0, lens0, nrun0, overflow0, jnp.int32(0),
+    )
     carry = jax.lax.while_loop(cond, body, carry)
-    (_, _, _, active, ops, lens, nrun, overflow, _) = carry
+    (_, _, _, active, cur_op, cur_len, ops, lens, nrun, overflow, _) = carry
+
+    # final flush of the carried (still-open) run
+    has_cur = cur_len > 0
+    fits = has_cur & (nrun < run_cap)
+    idx = jnp.where(fits, nrun, run_cap)
+    ops = ops.at[rows, idx].set(cur_op, mode="drop")
+    lens = lens.at[rows, idx].set(cur_len.astype(jnp.uint8), mode="drop")
+    nrun = nrun + fits.astype(jnp.int32)
+    overflow = overflow | (has_cur & jnp.logical_not(fits)) | (nrun > run_cap)
     overflow = overflow | active
     return ops, lens, nrun, overflow

@@ -196,7 +196,6 @@ def run_dp_chunk_c2(
     qheads_ref,
     ttails_ref,
     choices_ref,
-    runs_ref,
     # per-parity band scratch: *_e holds even diagonals (k = k0 + 2c),
     # *_o the odd (k = k0 + 2c + 1) — separate refs so every vector op
     # runs on a clean (TB, KC) operand
@@ -310,8 +309,10 @@ def run_dp_chunk_c2(
             is_run = choice == jnp.int32(S_DIAG_MATCH)
             inc = jnp.minimum(runlen, 254) + 1
             new_run = jnp.where(is_run, inc, 0)
-            choices_ref[j_local] = packed.astype(jnp.uint8)
-            runs_ref[j_local] = new_run.astype(jnp.uint8)
+            # merged u16 plane: low byte choice/ext bits, high byte run
+            choices_ref[j_local] = (packed | (new_run << 8)).astype(
+                jnp.uint16
+            )
             run_ref[:] = jnp.where(active, new_run, runlen)
 
         s_ref[:] = jnp.where(active, s_new, s_prev)
@@ -491,7 +492,6 @@ def _kernel(
     # outputs
     sout_ref,
     choices_ref,
-    runs_ref,
     # scratch
     s_ref,
     i1_ref,
@@ -535,7 +535,6 @@ def _kernel(
         qheads_ref,
         ttails_ref,
         choices_ref,
-        runs_ref,
         s_ref,
         i1_ref,
         d1_ref,
@@ -562,7 +561,6 @@ def run_dp_chunk(
     qheads_ref,
     ttails_ref,
     choices_ref,
-    runs_ref,
     s_ref,
     i1_ref,
     d1_ref,
@@ -719,8 +717,8 @@ def run_dp_chunk(
             is_run = choice == jnp.int32(S_DIAG_MATCH)
             inc = jnp.minimum(runlen, 254) + 1
             new_run = jnp.where(is_run, inc, 0)
-            choices_ref[j] = packed.astype(jnp.uint8)
-            runs_ref[j] = new_run.astype(jnp.uint8)
+            # merged u16 plane: low byte choice/ext bits, high byte run
+            choices_ref[j] = (packed | (new_run << 8)).astype(jnp.uint16)
             run_ref[:] = jnp.where(active, new_run, runlen)
 
         s_ref[:] = jnp.where(active, s_new, s_prev)
@@ -764,7 +762,6 @@ def _kernel_c2(
     # outputs
     sout_ref,  # (TB, 2*KC): [0:KC] even-parity S, [KC:] odd
     choices_ref,
-    runs_ref,
     # scratch
     se_ref,
     so_ref,
@@ -815,7 +812,6 @@ def _kernel_c2(
         qheads_ref,
         ttails_ref,
         choices_ref,
-        runs_ref,
         se_ref,
         so_ref,
         i1e_ref,
@@ -965,20 +961,14 @@ def _forward_c2(
             lambda b, d: (d, b, 0),
             memory_space=pltpu.VMEM,
         )
-        out_shapes += [
-            jax.ShapeDtypeStruct((D2, B, KC), jnp.uint8),
-            jax.ShapeDtypeStruct((D2, B, KC), jnp.uint8),
-        ]
-        out_specs += [plane_spec, plane_spec]
+        out_shapes += [jax.ShapeDtypeStruct((D2, B, KC), jnp.uint16)]
+        out_specs += [plane_spec]
     else:
         dummy_spec = pl.BlockSpec(
             (1, tb, KC), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
         )
-        out_shapes += [
-            jax.ShapeDtypeStruct((1, B, KC), jnp.uint8),
-            jax.ShapeDtypeStruct((1, B, KC), jnp.uint8),
-        ]
-        out_specs += [dummy_spec, dummy_spec]
+        out_shapes += [jax.ShapeDtypeStruct((1, B, KC), jnp.uint16)]
+        out_specs += [dummy_spec]
 
     kernel = functools.partial(
         _kernel_c2,
@@ -1045,7 +1035,7 @@ def _forward_c2(
     scores = scores[:B0]
     certificate = certificate[:B0]
     if with_choices:
-        return scores, certificate, (outs[1][:, :B0], outs[2][:, :B0])
+        return scores, certificate, outs[1][:, :B0]
     return scores, certificate, None
 
 
@@ -1112,20 +1102,14 @@ def _forward_u(
             lambda b, d: (d, b, 0),
             memory_space=pltpu.VMEM,
         )
-        out_shapes += [
-            jax.ShapeDtypeStruct((D2, B, K), jnp.uint8),
-            jax.ShapeDtypeStruct((D2, B, K), jnp.uint8),
-        ]
-        out_specs += [plane_spec, plane_spec]
+        out_shapes += [jax.ShapeDtypeStruct((D2, B, K), jnp.uint16)]
+        out_specs += [plane_spec]
     else:
         dummy_spec = pl.BlockSpec(
             (1, tb, K), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
         )
-        out_shapes += [
-            jax.ShapeDtypeStruct((1, B, K), jnp.uint8),
-            jax.ShapeDtypeStruct((1, B, K), jnp.uint8),
-        ]
-        out_specs += [dummy_spec, dummy_spec]
+        out_shapes += [jax.ShapeDtypeStruct((1, B, K), jnp.uint16)]
+        out_specs += [dummy_spec]
 
     kernel = functools.partial(
         _kernel,
@@ -1193,5 +1177,5 @@ def _forward_u(
     scores = scores[:B0]
     certificate = certificate[:B0]
     if with_choices:
-        return scores, certificate, (outs[1][:, :B0], outs[2][:, :B0])
+        return scores, certificate, outs[1][:, :B0]
     return scores, certificate, None
