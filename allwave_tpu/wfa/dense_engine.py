@@ -189,28 +189,26 @@ class DenseBandAligner:
                     ),
                 )
                 rounds.setdefault((ki, cap0), []).append(i)
-        # software pipeline with a single in-flight slot carried ACROSS
-        # band rounds: dispatch the next group (possibly at a different
-        # K) before collecting the previous one, so upload + host
-        # decode/CIGAR expansion always overlap device compute — the
-        # per-round drain used to serialize a full tunnel round trip
-        # between consecutive band widths
-        inflight = None  # (group, device_buf, k, cap)
+        # software pipeline with a DEPTH-2 in-flight queue carried
+        # ACROSS band rounds: up to three groups are enqueued on the
+        # device before the first collect blocks, so every tunnel
+        # round trip except the last overlaps device compute
+        # (explicit copy_to_host_async measured SLOWER over the axon
+        # tunnel — the plain queue is the win)
+        from collections import deque
 
-        def _drain():
-            nonlocal inflight
-            if inflight is None:
-                return
-            g, buf, kk, cc = inflight
-            inflight = None
+        inflight = deque()  # (group, device_buf, k, cap)
+
+        def _drain_one():
+            g, buf, kk, cc = inflight.popleft()
             for i, key in self._collect_group(
                 pairs, g, buf, results, stats, kk, cc, l_pad
             ):
                 rounds.setdefault(key, []).append(i)
 
-        while rounds or inflight is not None:
+        while rounds or inflight:
             if not rounds:
-                _drain()
+                _drain_one()
                 continue
             k, cap = min(rounds)
             idxs = rounds.pop((k, cap))
@@ -230,8 +228,9 @@ class DenseBandAligner:
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
                 dispatched = self._dispatch_group(pairs, group, k, cap, l_pad)
-                _drain()
-                inflight = (group, dispatched, k, cap)
+                inflight.append((group, dispatched, k, cap))
+                while len(inflight) > 2:
+                    _drain_one()
         return (results, stats) if with_stats else results
 
     def _dispatch_group(self, pairs, group, k, run_cap, l_pad):
