@@ -535,6 +535,7 @@ def _kernel(
         qheads_ref,
         ttails_ref,
         choices_ref,
+        None,
         s_ref,
         i1_ref,
         d1_ref,
@@ -561,6 +562,7 @@ def run_dp_chunk(
     qheads_ref,
     ttails_ref,
     choices_ref,
+    runs_ref,  # None -> merged u16 plane; a ref -> legacy two u8 planes
     s_ref,
     i1_ref,
     d1_ref,
@@ -717,8 +719,20 @@ def run_dp_chunk(
             is_run = choice == jnp.int32(S_DIAG_MATCH)
             inc = jnp.minimum(runlen, 254) + 1
             new_run = jnp.where(is_run, inc, 0)
-            # merged u16 plane: low byte choice/ext bits, high byte run
-            choices_ref[j] = (packed | (new_run << 8)).astype(jnp.uint16)
+            if runs_ref is None:
+                # merged u16 plane: low byte choice/ext bits, high byte
+                # run — ONE traceback gather per hop (the one-shot
+                # engine tracebacks big batches; random HBM gathers
+                # dominate there)
+                choices_ref[j] = (packed | (new_run << 8)).astype(
+                    jnp.uint16
+                )
+            else:
+                # two u8 planes — the span path keeps them separate:
+                # its small-batch replay gathers are cheap and the u16
+                # pack measured ~10% slower in the span kernel store
+                choices_ref[j] = packed.astype(jnp.uint8)
+                runs_ref[j] = new_run.astype(jnp.uint8)
             run_ref[:] = jnp.where(active, new_run, runlen)
 
         s_ref[:] = jnp.where(active, s_new, s_prev)

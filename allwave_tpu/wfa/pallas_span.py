@@ -52,6 +52,7 @@ def _span_kernel(
     i2_out,
     d2_out,
     choices_ref,
+    runs_ref,
     # scratch
     s_ref,
     i1_ref,
@@ -92,6 +93,7 @@ def _span_kernel(
         qheads_ref,
         ttails_ref,
         choices_ref,
+        runs_ref,
         s_ref,
         i1_ref,
         d1_ref,
@@ -209,14 +211,20 @@ def dense_span_pallas(
         plane_spec = pl.BlockSpec(
             (d_chunk, tb, K), lambda b, d: (d, b, 0), memory_space=pltpu.VMEM
         )
-        out_shapes += [jax.ShapeDtypeStruct((n_steps, B, K), jnp.uint16)]
-        out_specs += [plane_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_steps, B, K), jnp.uint8),
+            jax.ShapeDtypeStruct((n_steps, B, K), jnp.uint8),
+        ]
+        out_specs += [plane_spec, plane_spec]
     else:
         dummy_spec = pl.BlockSpec(
             (1, tb, K), lambda b, d: (0, b, 0), memory_space=pltpu.VMEM
         )
-        out_shapes += [jax.ShapeDtypeStruct((1, B, K), jnp.uint16)]
-        out_specs += [dummy_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((1, B, K), jnp.uint8),
+            jax.ShapeDtypeStruct((1, B, K), jnp.uint8),
+        ]
+        out_specs += [dummy_spec, dummy_spec]
 
     kernel = functools.partial(
         _span_kernel,
@@ -259,5 +267,5 @@ def dense_span_pallas(
     )
     state_out = tuple(o[:B0] for o in outs[:5])
     if with_choices:
-        return state_out, outs[5][:, :B0]
+        return state_out, (outs[5][:, :B0], outs[6][:, :B0])
     return state_out, None

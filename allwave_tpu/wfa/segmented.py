@@ -198,14 +198,10 @@ def dense_span_xla(
             is_run = choice == jnp.uint8(S_DIAG_MATCH)
             inc = jnp.minimum(runlen, jnp.uint8(254)) + jnp.uint8(1)
             new_run = jnp.where(is_run, inc, jnp.uint8(0))
-            # merged u16 plane: low byte choice/ext bits, high byte run
-            # (one traceback gather per hop — see dense.dense_traceback)
-            y = packed.astype(jnp.uint16) | (
-                new_run.astype(jnp.uint16) << 8
-            )
+            y = (packed, new_run)
         else:
             new_run = runlen
-            y = jnp.zeros((B, 1), jnp.uint16)
+            y = (jnp.zeros((B, 1), jnp.uint8), jnp.zeros((B, 1), jnp.uint8))
 
         clamp = lambda a: jnp.minimum(a, INF)
         s_out = jnp.where(active, clamp(s_new), s_prev)
@@ -218,11 +214,11 @@ def dense_span_xla(
 
     s0, i10, d10, i20, d20 = state
     ds = d_lo + 1 + jnp.arange(n_steps, dtype=jnp.int32)
-    carry, choices = jax.lax.scan(
+    carry, (choices, runs) = jax.lax.scan(
         step, (s0, i10, d10, i20, d20, qb, tb, run0), ds, unroll=4
     )
     state_out = carry[:5]
-    return state_out, (choices if with_choices else None)
+    return state_out, ((choices, runs) if with_choices else None)
 
 
 def dense_sweep_ckpt(
@@ -330,7 +326,7 @@ def dense_span_pallas(
 
 @functools.partial(jax.jit, static_argnames=("pen", "run_cap"))
 def traceback_segment(
-    choices_runs,  # (n_steps, B, K) uint16 merged plane (low: choice bits, high: run)
+    choices_runs,  # ((n_steps, B, K) uint8 choices, same-shape runs)
     d_lo,  # traced scalar: plane row r holds anti-diagonal d_lo + r + 1
     walk,  # (d, c, comp, active) each (B,) int32/bool
     bufs,  # (ops (B, run_cap) u8, lens (B, run_cap) u8, nrun (B,) i32, overflow (B,) bool)
@@ -343,7 +339,7 @@ def traceback_segment(
     planes (same transition rules as dense.dense_traceback). Walkers
     pause when they step to d <= d_lo (resumed with the previous
     segment) and finish at d <= 0."""
-    choices = choices_runs
+    choices, runlens = choices_runs
     NS, B, K = choices.shape
     rows = jnp.arange(B, dtype=jnp.int32)
 
@@ -358,9 +354,8 @@ def traceback_segment(
         c_ok = (c >= 0) & (c < K)
         rr = jnp.clip(r, 0, NS - 1)
         cc = jnp.clip(c, 0, K - 1)
-        v = jnp.where(r_ok & c_ok, choices[rr, rows, cc], jnp.uint16(0))
-        byte = (v & 0xFF).astype(jnp.uint8)
-        run = (v >> 8).astype(jnp.uint8)
+        byte = jnp.where(r_ok & c_ok, choices[rr, rows, cc], jnp.uint8(0))
+        run = jnp.where(r_ok & c_ok, runlens[rr, rows, cc], jnp.uint8(0))
         return byte, run
 
     max_iters = 2 * int(NS) + 8
