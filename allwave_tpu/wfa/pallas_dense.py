@@ -7,15 +7,24 @@ live in VMEM **scratch across the entire 2·L-step sweep**, instead of
 round-tripping through HBM as an XLA `lax.scan` carry.  Measured on
 v5e, the scan spends ~52 µs per step on carry traffic + loop overhead
 (~1.3 Gcells/s); the kernel's per-step cost is pure VPU work on a
-(B_TILE, K) tile.
+(tb, K) tile.
 
 Layout (TPU-native):
-  * pairs ride the SUBLANE axis (B_TILE = 32),
+  * pairs ride the SUBLANE axis (tile size from _tiles_for*),
   * the diagonal band rides the LANE axis (K multiple of 128),
-  * grid = (B/B_TILE, 2L/D_CHUNK); the d-chunk axis is innermost so the
+  * grid = (B/tb, 2L/D_CHUNK); the d-chunk axis is innermost so the
     VMEM-resident carry survives across chunks of the same pair tile,
-    while the per-step choice/run-length planes stream out to HBM one
-    (D_CHUNK, B_TILE, K) block at a time (Pallas double-buffers these).
+    while the per-step choice planes stream out to HBM one
+    (D_CHUNK, tb, K) block at a time (Pallas double-buffers these).
+  * TWO kernels, statically routed by band width (C2_MIN_K): the
+    classic full-width kernel below it, and for wide bands a
+    PARITY-COMPRESSED kernel that packs same-parity diagonals into
+    K/2 lanes (anti-diagonal parity leaves half the lanes idle every
+    step), halving plane bytes and doubling the band ceiling.
+  * the one-shot choice planes are a single uint16 (low byte:
+    choice/ext bits, high byte: match-run length) so the traceback
+    pays ONE random HBM gather per hop; the span path keeps two u8
+    planes (see run_dp_chunk's runs_ref).
   * substitution bases use EXTENDED SHIFT REGISTERS: the chunk's
     D_CHUNK future head bytes are laid (reversed) in the lanes to the
     LEFT of the K-lane query register (and the future tail bytes to the
@@ -56,10 +65,9 @@ from .dense import (
     _band_geometry,
 )
 
-B_TILE = 32  # sublane tile at the default band width
 LANES = 128  # K and d_chunk must be multiples of this (Mosaic block rule)
-#: ceiling for one streamed (d_chunk, B_TILE, K) choices block; with two
-#: planes and double buffering this bounds streaming VMEM at ~4 MB
+#: ceiling for one streamed (d_chunk, tb, K) choices block; with
+#: double buffering this bounds streaming VMEM at ~4 MB
 PLANE_BYTES_MAX = 1 << 20
 K_MAX = 16384  # ceiling for the pair tile tb=8: five int32 bands plus
 # the extended registers and the streamed plane blocks stay within the
@@ -908,7 +916,7 @@ def _forward_c2(
 ):
     """Drop-in replacement for dense.dense_forward (same returns).
 
-    B is padded internally to a multiple of B_TILE and l_pad up to
+    B is padded internally to a multiple of the pair tile and l_pad up to
     D_CHUNK/2; k_width must be a multiple of 128. The choices planes
     come back shaped (2*l_pad_eff, B, K) — dense_traceback addresses
     them by (d, row, col) so the extra padded steps are simply never
