@@ -189,6 +189,24 @@ class DenseBandAligner:
                     ),
                 )
                 rounds.setdefault((ki, cap0), []).append(i)
+        # coalesce small hint-rounds into the next wider band: a tiny
+        # round costs a full dispatch + tunnel round trip (~35 ms) but
+        # only ~size/batch of extra compute when merged upward (wider
+        # bands are always exact; certificates only get easier)
+        if len(rounds) > 1:
+            for key in sorted(rounds):
+                if key not in rounds or len(rounds) == 1:
+                    continue
+                if len(rounds[key]) >= 512:
+                    continue
+                larger = [
+                    kk
+                    for kk in rounds
+                    if kk[1] == key[1] and kk[0] > key[0]
+                ]
+                if larger:
+                    rounds[min(larger)].extend(rounds.pop(key))
+
         # software pipeline with a DEPTH-2 in-flight queue carried
         # ACROSS band rounds: up to three groups are enqueued on the
         # device before the first collect blocks, so every tunnel
