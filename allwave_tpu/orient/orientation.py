@@ -16,9 +16,14 @@ results, O(n) instead of O(pairs) sketching).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Sequence as PySequence
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from ..core.types import Sequence
 from ..sketch.minhash import jaccard, sketch_stranded
@@ -170,11 +175,88 @@ class OrientationIndex:
         self._distances = np.minimum(dist, 1.0)
         return decisions
 
+    #: ceiling for the device membership matrix (2n x U) int8 bytes;
+    #: larger inputs fall back to the blocked-bitmap NumPy path
+    DEVICE_MEMBERSHIP_MAX = 2 << 30
+
+    def _decision_matrix_device(self) -> np.ndarray:
+        """MXU-backed twin of _decision_matrix: sketch hashes remap to
+        dense int32 codes (host), membership rows build on device by
+        scatter, and ALL intersection counts come from ONE int8 matmul
+        (2n x U) @ (U x n) — the systolic array does the set
+        intersections. Decisions use exact integer cross-comparison
+        fi*max(ru,1) >= ri*max(fu,1), which provably equals the NumPy
+        path's float64 Jaccard compare: with counts <= sketch_size the
+        candidate rationals are spaced >= 1/(4*sketch_size^2), ~9
+        orders of magnitude wider than one f64 ulp, so rounding can
+        never flip the comparison. Distances (band hints only) are f32."""
+        n = len(self.sequences)
+        fsets = [self._fwd_set(i) for i in range(n)]
+        rsets = [self._rev_set(i) for i in range(n)]
+        sizes_f = np.array([s.size for s in fsets], dtype=np.int32)
+        sizes_r = np.array([s.size for s in rsets], dtype=np.int32)
+
+        cat = np.concatenate(fsets + rsets)
+        uniq, inv = np.unique(cat, return_inverse=True)
+        U = int(uniq.size)
+        if 2 * n * (U + 1) > self.DEVICE_MEMBERSHIP_MAX:
+            raise MemoryError("membership matrix over device budget")
+        S = max(int(max(sizes_f.max(), sizes_r.max())) if n else 1, 1)
+        codes = np.full((2 * n, S), U, dtype=np.int32)  # U = sentinel col
+        offs = np.concatenate(
+            ([0], np.cumsum([s.size for s in fsets + rsets]))
+        )
+        for r in range(2 * n):
+            codes[r, : offs[r + 1] - offs[r]] = inv[offs[r] : offs[r + 1]]
+
+        # bucket the static dims so the jit cache hits across
+        # workloads (a fresh compile costs seconds over the tunnel)
+        n_pad = -(-n // 64) * 64
+        u_pad = -(-(U + 1) // 16384) * 16384
+        if codes.shape[1] % 256:
+            codes = np.pad(
+                codes,
+                ((0, 0), (0, 256 - codes.shape[1] % 256)),
+                constant_values=u_pad,
+            )
+        codes[codes == U] = u_pad  # sentinel -> dropped padded column
+        if n_pad != n:
+            pad_rows = np.full((2 * (n_pad - n), codes.shape[1]), u_pad, np.int32)
+            codes = np.concatenate(
+                [codes[:n], pad_rows[: n_pad - n], codes[n:], pad_rows[n_pad - n :]]
+            )
+            sizes_f = np.pad(sizes_f, (0, n_pad - n))
+            sizes_r = np.pad(sizes_r, (0, n_pad - n))
+        dec, dist = _decide_device(
+            jnp.asarray(codes),
+            jnp.asarray(sizes_f),
+            jnp.asarray(sizes_r),
+            n_pad,
+            u_pad,
+            self.k,
+        )
+        self._distances = np.asarray(dist, dtype=np.float64)[:n, :n]
+        return np.asarray(dec)[:n, :n]
+
     def orient_batch(self, idx_pairs) -> np.ndarray:
         """Vectorized ``orient`` over a list of (query_idx, target_idx)
-        pairs via the cached all-pairs decision matrix."""
+        pairs via the cached all-pairs decision matrix (MXU matmul path
+        on accelerators, blocked-bitmap NumPy otherwise)."""
         if getattr(self, "_decisions", None) is None:
-            self._decisions = self._decision_matrix()
+            # the device path pays ~60 ms of fixed tunnel/dispatch cost;
+            # the NumPy path grows ~n^2 (measured: 30 ms at n=64,
+            # 850 ms at n=500) — crossover is ~n=128
+            use_device = (
+                len(self.sequences) >= 128
+                and jax.default_backend() != "cpu"
+            )
+            if use_device:
+                try:
+                    self._decisions = self._decision_matrix_device()
+                except Exception:
+                    self._decisions = self._decision_matrix()
+            else:
+                self._decisions = self._decision_matrix()
         idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
         return self._decisions[idx[:, 0], idx[:, 1]]
 
@@ -208,3 +290,32 @@ def determine_orientation_mash(query: bytes, target: bytes):
     if fwd_j >= rev_j:
         return query, False
     return rc, True
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _decide_device(codes_d, szf, szr, n_, U_, k):
+    """Device body of OrientationIndex._decision_matrix_device (module
+    scope so the jit cache persists across index instances)."""
+    rows = jnp.arange(2 * n_, dtype=jnp.int32)[:, None]
+    m = jnp.zeros((2 * n_, U_ + 1), jnp.int8)
+    m = m.at[rows, codes_d].set(1, mode="drop")
+    m = m[:, :U_]
+    counts = jax.lax.dot_general(
+        m,
+        m[:n_],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (2n, n): [i, j] = |set_i  ∩  fwd_j|
+    fi, ri = counts[:n_], counts[n_:]
+    fu = szf[:, None] + szf[None, :] - fi
+    ru = szr[:, None] + szf[None, :] - ri
+    dec = jnp.logical_not(fi * jnp.maximum(ru, 1) >= ri * jnp.maximum(fu, 1))
+    fwd_j = fi.astype(jnp.float32) / jnp.maximum(fu, 1)
+    rev_j = ri.astype(jnp.float32) / jnp.maximum(ru, 1)
+    best_j = jnp.maximum(fwd_j, rev_j)
+    dist = jnp.where(
+        best_j > 0,
+        -jnp.log(jnp.maximum(2 * best_j / (1 + best_j), 1e-30)) / k,
+        1.0,
+    )
+    return dec, jnp.minimum(dist, 1.0)

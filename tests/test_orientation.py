@@ -128,3 +128,32 @@ def test_decision_matrix_blocked_matches_per_pair():
     )
     for i, j in idx[:20]:
         assert a.orient(i, j) == bool(a.orient_batch([(i, j)])[0])
+
+
+def test_decision_matrix_device_matches_numpy():
+    """The MXU-matmul decision path must be bit-identical to the
+    blocked-bitmap NumPy path (exact integer cross-comparison vs f64
+    Jaccard compare — see _decision_matrix_device's docstring)."""
+    import numpy as np
+
+    from allwave_tpu.core.types import Sequence
+    from allwave_tpu.orient.orientation import OrientationIndex
+
+    rng = np.random.RandomState(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    comp = np.full(256, ord("N"), np.uint8)
+    for s_, d_ in zip(b"ATCGN", b"TAGCN"):
+        comp[s_] = d_
+    root = rng.choice(bases, 600)
+    seqs = []
+    for i in range(40):
+        t = root.copy()
+        mut = rng.rand(600) < rng.uniform(0.01, 0.4)
+        t[mut] = bases[rng.randint(0, 4, mut.sum())]
+        if i % 3 == 0:
+            t = comp[t][::-1]
+        seqs.append(Sequence(f"s{i}", t.tobytes()))
+    d_np = OrientationIndex(seqs)._decision_matrix()
+    oi = OrientationIndex(seqs)
+    d_dev = oi._decision_matrix_device()
+    np.testing.assert_array_equal(d_np, d_dev)
