@@ -30,7 +30,7 @@ from ..wfa.dense_engine import UnifiedAligner
 from ..wfa.params import resolve_penalties
 
 #: pairs per streaming chunk fed to the batch engine
-DEFAULT_CHUNK = 4096
+DEFAULT_CHUNK = 16384
 
 
 def _result_from_cigar(
