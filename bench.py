@@ -16,7 +16,7 @@ exactness; allwave scales roughly linearly with -t threads on top).
 vs_baseline = device alignments/s / (C++ single-core alignments/s).
 
 Env knobs:
-  BENCH_N_SEQS (default 64), BENCH_LEN (default 1000),
+  BENCH_N_SEQS (default 128), BENCH_LEN (default 1000),
   BENCH_DIVERGENCE (default 0.02), ALLWAVE_PLATFORM (force backend).
 """
 
@@ -29,7 +29,7 @@ import numpy as np
 
 
 def main():
-    n_seqs = int(os.environ.get("BENCH_N_SEQS", "64"))
+    n_seqs = int(os.environ.get("BENCH_N_SEQS", "128"))
     length = int(os.environ.get("BENCH_LEN", "1000"))
     div = float(os.environ.get("BENCH_DIVERGENCE", "0.02"))
 
