@@ -24,10 +24,15 @@ The results are identical because sketching is deterministic.
 
 from __future__ import annotations
 
+import functools
+
 import math
 from typing import List, Sequence as PySequence
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from ..core.types import Sequence
 from ..hashing.siphash import hash_kmers
@@ -151,6 +156,11 @@ def pairwise_intersection_counts(sketches: List[np.ndarray]) -> np.ndarray:
     total = int(sizes.sum())
     if total == 0:
         return counts
+    if n >= 128:
+        try:
+            return _intersection_counts_device(sketches, sizes)
+        except Exception:
+            pass  # fall through to the NumPy bitmap path
     all_vals = np.concatenate(sketches)
     uniq, inv = np.unique(all_vals, return_inverse=True)
     offs = np.zeros(n + 1, dtype=np.int64)
@@ -184,13 +194,17 @@ def compute_distance_matrix_with_params(
     sizes = np.array([s.size for s in sketches], dtype=np.int64)
     inter = pairwise_intersection_counts(sketches)
     union = sizes[:, None] + sizes[None, :] - inter
-    matrix = np.zeros((n, n), dtype=np.float64)
-    for i in range(n):
-        for j in range(i + 1, n):
-            jac = inter[i, j] / union[i, j] if union[i, j] > 0 else 0.0
-            d = mash_distance_from_jaccard(jac, k)
-            matrix[i, j] = d
-            matrix[j, i] = d
+    # vectorized mash formula — same float64 operations per element as
+    # mash_distance_from_jaccard (the n^2 Python loop was ~1 s at n=1000)
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    ratio = (2.0 * jac) / (1.0 + jac)
+    with np.errstate(divide="ignore"):
+        matrix = np.where(
+            (jac <= 0.0) | (ratio <= 0.0),
+            1.0,
+            (-1.0 / k) * np.log(np.maximum(ratio, 1e-300)),
+        )
+    np.fill_diagonal(matrix, 0.0)
     return matrix
 
 
@@ -209,3 +223,44 @@ def format_distance_matrix(
         row = "".join(f"\t{matrix[i, j]:.6f}" for j in range(len(sequences)))
         lines.append(f"{s.id}{row}")
     return "\n".join(lines) + "\n"
+
+
+def _intersection_counts_device(sketches, sizes, force: bool = False) -> np.ndarray:
+    """MXU twin of the bitmap pass: hashes remap to dense int32 codes
+    (host), membership rows build on device by scatter, and all
+    pairwise counts come from ONE (n x U) @ (U x n) int8 matmul —
+    exact integers, so downstream float64 Jaccard/mash values are
+    bit-identical to the NumPy path. Static dims bucket (n to 64, U to
+    16384) so the jit cache survives across workloads; raises on CPU
+    backends or over-budget shapes (caller falls back)."""
+    if not force and jax.default_backend() == "cpu":
+        raise RuntimeError("device path is not worth it on CPU")
+    n = len(sketches)
+    all_vals = np.concatenate(sketches)
+    uniq, inv = np.unique(all_vals, return_inverse=True)
+    U = int(uniq.size)
+    n_pad = -(-n // 64) * 64
+    u_pad = -(-(U + 1) // 16384) * 16384
+    if n_pad * (u_pad + 1) > (2 << 30):
+        raise MemoryError("membership matrix over device budget")
+    S = -(-max(int(sizes.max()), 1) // 256) * 256
+    codes = np.full((n_pad, S), u_pad, dtype=np.int32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offs[1:])
+    for r in range(n):
+        codes[r, : offs[r + 1] - offs[r]] = inv[offs[r] : offs[r + 1]]
+    counts = _membership_counts(jnp.asarray(codes), n_pad, u_pad)
+    return np.asarray(counts)[:n, :n].astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _membership_counts(codes_d, n_, U_):
+    """(n, n) int32 pairwise intersection counts from padded dense-id
+    code rows (sentinel U_ drops into the discarded padding column)."""
+    rows = jnp.arange(n_, dtype=jnp.int32)[:, None]
+    m = jnp.zeros((n_, U_ + 1), jnp.int8)
+    m = m.at[rows, codes_d].set(1, mode="drop")
+    m = m[:, :U_]
+    return jax.lax.dot_general(
+        m, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )

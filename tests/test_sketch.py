@@ -144,3 +144,30 @@ def test_distance_matrix_bitmap_matches_per_pair():
             sj = sketch_canonical(seqs[j].seq, k, size)
             want = mash_distance_from_jaccard(jaccard(si, sj), k)
             assert got[i, j] == want, (i, j)
+
+
+def test_intersection_counts_device_matches_numpy():
+    """The MXU membership-matmul intersection path must produce the
+    exact integer counts of the bitmap path (downstream f64 mash values
+    are then bit-identical)."""
+    import numpy as np
+
+    from allwave_tpu.sketch.minhash import (
+        _intersection_counts_device,
+        pairwise_intersection_counts,
+        sketch_canonical,
+    )
+
+    rng = np.random.RandomState(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    root = rng.choice(bases, 400)
+    sketches = []
+    for i in range(9):
+        t = root.copy()
+        mut = rng.rand(400) < rng.uniform(0.0, 0.6)
+        t[mut] = bases[rng.randint(0, 4, mut.sum())]
+        sketches.append(np.unique(sketch_canonical(t.tobytes(), 15, 1000)))
+    sizes = np.array([s.size for s in sketches], dtype=np.int64)
+    want = pairwise_intersection_counts(sketches)
+    got = _intersection_counts_device(sketches, sizes, force=True)
+    np.testing.assert_array_equal(want, got)
