@@ -370,6 +370,17 @@ class UnifiedAligner:
                 q, t = pairs[i]
                 pad = DenseBandAligner._next_pow2(max(len(q), len(t), 4))
                 by_pad.setdefault(pad, []).append(i)
+            # coalesce tiny length-buckets into the next larger one: a
+            # <256-pair bucket costs a full dispatch chain but only
+            # ~2x the per-pair scan work when merged upward (the dense
+            # engine re-derives l_pad from its own batch)
+            if len(by_pad) > 1:
+                for pad in sorted(by_pad):
+                    if len(by_pad) == 1 or len(by_pad[pad]) >= 256:
+                        continue
+                    larger = [p for p in by_pad if p > pad]
+                    if larger:
+                        by_pad[min(larger)].extend(by_pad.pop(pad))
             for pad, idxs in sorted(by_pad.items()):
                 sub = [pairs[i] for i in idxs]
                 hint = (
