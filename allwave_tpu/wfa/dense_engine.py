@@ -96,33 +96,28 @@ class DenseBandAligner:
             self._round_k(max(k, self.config.k_initial)), self.config.k_max
         )
 
-    def _prepare_pool(self, sub: List[Tuple[bytes, bytes]], l_pad: int):
-        """Upload the batch as a UNIQUE-sequence pool + per-pair row
-        indices: all-pairs workloads reference each sequence ~2(n-1)
-        times, so this sends kilobytes over the ~40 MB/s driver tunnel
-        instead of megabytes of duplicated rows."""
+    def _build_pool(self, pairs: List[Tuple[bytes, bytes]], l_pad: int):
+        """ONE device-resident UNIQUE-sequence pool per align_pairs
+        call + per-pair row indices: all-pairs workloads reference each
+        sequence ~2(n-1) times, so this sends kilobytes over the
+        ~40 MB/s driver tunnel instead of megabytes of duplicated rows,
+        and every dispatch group of the call shares the same upload."""
         import jax.numpy as jnp
 
         pool_map: Dict[bytes, int] = {}
-        for q, t in sub:
+        for q, t in pairs:
             for sq in (q, t):
                 if sq not in pool_map:
                     pool_map[sq] = len(pool_map)
-        p_pad = self._next_pow2(len(pool_map))
+        p_pad = self._next_pow2(max(len(pool_map), 1))
         pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
         for sq, r in pool_map.items():
             pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
-        qidx = np.array([pool_map[q] for q, _ in sub], dtype=np.int32)
-        tidx = np.array([pool_map[t] for _, t in sub], dtype=np.int32)
-        qlens = np.array([len(q) for q, _ in sub], dtype=np.int32)
-        tlens = np.array([len(t) for _, t in sub], dtype=np.int32)
-        return (
-            jnp.asarray(pool),
-            jnp.asarray(qidx),
-            jnp.asarray(tidx),
-            jnp.asarray(qlens),
-            jnp.asarray(tlens),
-        )
+        qidx = np.array([pool_map[q] for q, _ in pairs], dtype=np.int32)
+        tidx = np.array([pool_map[t] for _, t in pairs], dtype=np.int32)
+        qlens = np.array([len(q) for q, _ in pairs], dtype=np.int32)
+        tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
+        return (jnp.asarray(pool), qidx, tidx, qlens, tlens)
 
     def align_pairs(
         self,
@@ -189,6 +184,8 @@ class DenseBandAligner:
                     ),
                 )
                 rounds.setdefault((ki, cap0), []).append(i)
+        self._pool = self._build_pool(pairs, l_pad)
+
         # coalesce small hint-rounds into the next wider band: a tiny
         # round costs a full dispatch + tunnel round trip (~35 ms) but
         # only ~size/batch of extra compute when merged upward (wider
@@ -252,11 +249,28 @@ class DenseBandAligner:
         return (results, stats) if with_stats else results
 
     def _dispatch_group(self, pairs, group, k, run_cap, l_pad):
-        """Upload + enqueue one fused forward+traceback dispatch;
-        returns the in-flight device buffer (not yet transferred)."""
+        """Enqueue one fused forward+traceback dispatch (the sequence
+        pool is already device-resident — see _build_pool); returns the
+        in-flight device buffer (not yet transferred)."""
+        import jax.numpy as jnp
+
+        pool_dev, qidx, tidx, qlens, tlens = self._pool
         b_pad = self._next_pow2(len(group))
-        sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
-        args = self._prepare_pool(sub, l_pad)
+        gi = np.asarray(group, dtype=np.int64)
+        pad = b_pad - len(group)
+        # padded rows point at pool row 0 with length 0 (same contract
+        # as the old empty-pair padding)
+        qi = np.concatenate([qidx[gi], np.zeros(pad, np.int32)])
+        ti = np.concatenate([tidx[gi], np.zeros(pad, np.int32)])
+        ql = np.concatenate([qlens[gi], np.zeros(pad, np.int32)])
+        tl = np.concatenate([tlens[gi], np.zeros(pad, np.int32)])
+        args = (
+            pool_dev,
+            jnp.asarray(qi),
+            jnp.asarray(ti),
+            jnp.asarray(ql),
+            jnp.asarray(tl),
+        )
         impl = self.impl
         if impl == "pallas":
             from .pallas_dense import K_MAX_C2
