@@ -504,20 +504,25 @@ class SegmentedDenseAligner:
             self._round_k(max(k, self.config.k_initial)), self.config.k_max
         )
 
-    def _prepare(self, sub: List[Tuple[bytes, bytes]], l_pad: int):
-        qlens = np.array([len(q) for q, _ in sub], dtype=np.int32)
-        tlens = np.array([len(t) for _, t in sub], dtype=np.int32)
-        qs = np.zeros((len(sub), l_pad), dtype=np.uint8)
-        ts = np.zeros((len(sub), l_pad), dtype=np.uint8)
-        for r, (q, t) in enumerate(sub):
-            qs[r, : len(q)] = np.frombuffer(q, dtype=np.uint8)
-            ts[r, : len(t)] = np.frombuffer(t, dtype=np.uint8)
-        return (
-            jnp.asarray(qs),
-            jnp.asarray(ts),
-            jnp.asarray(qlens),
-            jnp.asarray(tlens),
-        )
+    def _build_pool(self, pairs: List[Tuple[bytes, bytes]], l_pad: int):
+        """One device-resident unique-sequence pool per align_pairs
+        call: long-pair batches otherwise upload megabytes of
+        duplicated rows per dispatch group over the ~40 MB/s tunnel
+        (each sequence appears ~2(n-1) times in an all-pairs run)."""
+        pool_map: Dict[bytes, int] = {}
+        for q, t in pairs:
+            for sq in (q, t):
+                if sq not in pool_map:
+                    pool_map[sq] = len(pool_map)
+        p_pad = self._next_pow2(max(len(pool_map), 1))
+        pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
+        for sq, r in pool_map.items():
+            pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
+        qidx = np.array([pool_map[q] for q, _ in pairs], dtype=np.int32)
+        tidx = np.array([pool_map[t] for _, t in pairs], dtype=np.int32)
+        qlens = np.array([len(q) for q, _ in pairs], dtype=np.int32)
+        tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
+        return (jnp.asarray(pool), qidx, tidx, qlens, tlens)
 
     def align_pairs(
         self, pairs: List[Tuple[bytes, bytes]], sigma_hint=None
@@ -531,6 +536,7 @@ class SegmentedDenseAligner:
             return results
         max_len = max(max(len(q), len(t)) for q, t in pairs)
         l_pad = self._next_pow2(max(max_len, 4))
+        self._pool = self._build_pool(pairs, l_pad)
         C = min(self.config.ckpt_every, 2 * l_pad)
         max_kend = max(abs(len(t) - len(q)) for q, t in pairs)
 
@@ -590,8 +596,18 @@ class SegmentedDenseAligner:
         self, pairs, group, results, k, l_pad, C, run_cap=None, full_cap=None
     ) -> List[Tuple[int, Tuple[int, int]]]:
         b_pad = self._next_pow2(len(group))
-        sub = [pairs[i] for i in group] + [(b"", b"")] * (b_pad - len(group))
-        qs, ts, qlens, tlens = self._prepare(sub, l_pad)
+        pool_dev, qidx, tidx, qlens_a, tlens_a = self._pool
+        gi = np.asarray(group, dtype=np.int64)
+        pad = b_pad - len(group)
+        # padded rows point at pool row 0 with length 0
+        qi = np.concatenate([qidx[gi], np.zeros(pad, np.int32)])
+        ti = np.concatenate([tidx[gi], np.zeros(pad, np.int32)])
+        qlens = np.concatenate([qlens_a[gi], np.zeros(pad, np.int32)])
+        tlens = np.concatenate([tlens_a[gi], np.zeros(pad, np.int32)])
+        qs = jnp.take(pool_dev, jnp.asarray(qi), axis=0)
+        ts = jnp.take(pool_dev, jnp.asarray(ti), axis=0)
+        qlens = jnp.asarray(qlens)
+        tlens = jnp.asarray(tlens)
         B = b_pad
         K = k
 
