@@ -42,9 +42,7 @@ def _result_from_cigar(
     stats=None,
 ) -> AlignmentResult:
     if stats is not None:
-        num_matches, alignment_length, query_end, target_end = (
-            int(v) for v in stats
-        )
+        num_matches, alignment_length, query_end, target_end = stats
     else:
         num_matches, alignment_length = count_cigar_operations(cigar)
         query_end, target_end = parse_cigar_lengths(cigar)
@@ -231,14 +229,16 @@ class AllPairAligner:
             aligned, stats = eng.align_pairs(
                 list(zip(qs, ts)), with_stats=True, sigma_hint=sigma_hint
             )
-            for (i, j), is_rev, res, st in zip(chunk, revs, aligned, stats):
+            # one C-level conversion for the whole chunk instead of
+            # 6 scalar int() calls per record
+            chunk_l = chunk.tolist()
+            stats_l = stats.tolist()
+            for (i, j), is_rev, res, st in zip(chunk_l, revs, aligned, stats_l):
                 if res is None:
-                    result = AlignmentResult.failed(int(i), int(j), is_rev)
+                    result = AlignmentResult.failed(i, j, is_rev)
                 else:
                     score, cigar = res
-                    result = _result_from_cigar(
-                        int(i), int(j), is_rev, score, cigar, st
-                    )
+                    result = _result_from_cigar(i, j, is_rev, score, cigar, st)
                 callback(result)
 
     def __iter__(self):
@@ -254,14 +254,14 @@ class AllPairAligner:
             aligned, stats = eng.align_pairs(
                 list(zip(qs, ts)), with_stats=True, sigma_hint=sigma_hint
             )
-            for (i, j), is_rev, res, st in zip(chunk, revs, aligned, stats):
+            for (i, j), is_rev, res, st in zip(
+                chunk.tolist(), revs, aligned, stats.tolist()
+            ):
                 if res is None:
-                    yield AlignmentResult.failed(int(i), int(j), is_rev)
+                    yield AlignmentResult.failed(i, j, is_rev)
                 else:
                     score, cigar = res
-                    yield _result_from_cigar(
-                        int(i), int(j), is_rev, score, cigar, st
-                    )
+                    yield _result_from_cigar(i, j, is_rev, score, cigar, st)
 
 
 def process_alignments_with_callback(
