@@ -96,6 +96,25 @@ class DenseBandAligner:
             self._round_k(max(k, self.config.k_initial)), self.config.k_max
         )
 
+    def _round_ks(self, k: np.ndarray) -> np.ndarray:
+        """Vectorized _round_k over an int64 array."""
+        ladder = np.asarray(self.K_LADDER, dtype=np.int64)
+        idx = np.searchsorted(ladder, k).clip(0, ladder.size - 1)
+        return ladder[idx]
+
+    def _k_for_scores(self, sigma: np.ndarray, kend_abs: np.ndarray) -> np.ndarray:
+        """Vectorized _k_for_score (same formula element-for-element)."""
+        t = sigma // 2 + 1
+        n1 = np.maximum(1, -(-(t - self.pen.o1) // self.pen.e1))
+        if self.pen.two_piece:
+            n1 = np.maximum(n1, -(-(t - self.pen.o2) // self.pen.e2))
+        w = n1 - 1
+        k = kend_abs + 2 * np.maximum(w, 0) + 3
+        return np.minimum(
+            self._round_ks(np.maximum(k, self.config.k_initial)),
+            self.config.k_max,
+        )
+
     def _build_pool(self, pairs: List[Tuple[bytes, bytes]], l_pad: int):
         """ONE device-resident UNIQUE-sequence pool per align_pairs
         call + per-pair row indices: all-pairs workloads reference each
@@ -140,19 +159,25 @@ class DenseBandAligner:
         if n == 0:
             return (results, stats) if with_stats else results
 
-        max_len = max(max(len(q), len(t)) for q, t in pairs)
+        qlens_all = np.fromiter(
+            (len(q) for q, _ in pairs), dtype=np.int64, count=n
+        )
+        tlens_all = np.fromiter(
+            (len(t) for _, t in pairs), dtype=np.int64, count=n
+        )
+        self._lens = (qlens_all, tlens_all)
+        sum_lens = qlens_all + tlens_all
+        kend_abs_all = np.abs(tlens_all - qlens_all)
+        max_len = int(max(qlens_all.max(), tlens_all.max()))
         l_pad = self._next_pow2(max(max_len, 4))
-        max_kend = max(abs(len(t) - len(q)) for q, t in pairs)
 
         k0 = max(
             self._round_k(self.config.k_initial),
-            self._round_k(max_kend + 2),
+            self._round_k(int(kend_abs_all.max()) + 2),
         )
         # a band of k_full diagonals covers the whole matrix — widening
         # past it is pointless (the full-cover certificate always fires)
-        k_full = self._round_k(
-            max(max(len(q) + len(t) for q, t in pairs) + 1, 2)
-        )
+        k_full = self._round_k(max(int(sum_lens.max()) + 1, 2))
         k0 = min(k0, k_full)
         # run buffers must scale with length: a pure-match CIGAR already
         # needs L/255 runs, and event counts grow with L (a too-small cap
@@ -169,21 +194,21 @@ class DenseBandAligner:
                 (k0, cap0): list(range(n))
             }
         else:
+            # vectorized _k_for_score over the whole batch (the scalar
+            # loop was ~25 ms at 16k pairs)
+            ks = self._k_for_scores(
+                np.asarray(sigma_hint, dtype=np.int64), kend_abs_all
+            )
+            ks = np.maximum(ks, self._round_k(self.config.k_initial))
+            ks = np.maximum(ks, self._round_ks(kend_abs_all + 2))
+            ks = np.minimum(ks, self._round_ks(sum_lens + 1))
             rounds = {}
-            for i in range(n):
-                kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
-                ki = max(
-                    self._k_for_score(int(sigma_hint[i]), kend_abs),
-                    self._round_k(self.config.k_initial),
-                    self._round_k(kend_abs + 2),
-                )
-                ki = min(
-                    ki,
-                    self._round_k(
-                        len(pairs[i][0]) + len(pairs[i][1]) + 1
-                    ),
-                )
-                rounds.setdefault((ki, cap0), []).append(i)
+            order = np.argsort(ks, kind="stable")
+            bounds = np.searchsorted(ks[order], np.unique(ks))
+            uniq_ks = np.unique(ks)
+            for b, kv in enumerate(uniq_ks):
+                hi = bounds[b + 1] if b + 1 < len(bounds) else n
+                rounds[(int(kv), cap0)] = order[bounds[b] : hi].tolist()
         self._pool = self._build_pool(pairs, l_pad)
 
         # coalesce small hint-rounds into the next wider band: a tiny
