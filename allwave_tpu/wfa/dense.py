@@ -44,7 +44,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .params import Penalties
 
