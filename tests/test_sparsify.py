@@ -214,3 +214,14 @@ def test_neighbor_joining_two():
     assert tree is not None
     assert tree.left.branch_length == 0.2
     assert neighbor_joining(np.zeros((1, 1))) is None
+
+
+def test_parse_sparsification_legacy_connectivity():
+    """The legacy `connectivity:<p>` spelling parses like `giant:<p>`
+    (reference main.rs sparsification parser keeps both)."""
+    from allwave_tpu.sparsify.pairs import parse_sparsification
+
+    a = parse_sparsification("connectivity:0.95")
+    b = parse_sparsification("giant:0.95")
+    assert type(a) is type(b)
+    assert a == b
