@@ -264,7 +264,11 @@ class DenseBandAligner:
                     ),
                 )
             )
-            idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+            ia = np.asarray(idxs, dtype=np.int64)
+            qlens_all, tlens_all = self._lens
+            idxs = ia[
+                np.argsort(qlens_all[ia] + tlens_all[ia], kind="stable")
+            ].tolist()
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
                 dispatched = self._dispatch_group(pairs, group, k, cap, l_pad)
