@@ -131,13 +131,18 @@ class AllPairAligner:
         Returns the number of pairs skipped."""
         if not done:
             return 0
-        keep = np.ones(self.pairs.shape[0], dtype=bool)
-        for p, (i, j) in enumerate(self.pairs):
-            if (
-                self.sequences[int(i)].id,
-                self.sequences[int(j)].id,
-            ) in done:
-                keep[p] = False
+        id_to_idx = {s.id: k for k, s in enumerate(self.sequences)}
+        n = len(self.sequences)
+        done_keys = np.array(
+            [
+                id_to_idx[q] * n + id_to_idx[t]
+                for q, t in done
+                if q in id_to_idx and t in id_to_idx
+            ],
+            dtype=np.int64,
+        )
+        keys = self.pairs[:, 0].astype(np.int64) * n + self.pairs[:, 1]
+        keep = ~np.isin(keys, done_keys)
         skipped = int((~keep).sum())
         self.pairs = self.pairs[keep]
         return skipped
