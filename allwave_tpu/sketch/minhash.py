@@ -156,7 +156,10 @@ def pairwise_intersection_counts(sketches: List[np.ndarray]) -> np.ndarray:
     total = int(sizes.sum())
     if total == 0:
         return counts
-    if n >= 128:
+    # the device path pays a one-time per-bucket compile; the NumPy
+    # bitmap pass is ~0.4 s at n=300 and grows ~n^2, so the matmul only
+    # starts paying around n >= 512 (and wins big at pangenome scale)
+    if n >= 512:
         try:
             return _intersection_counts_device(sketches, sizes)
         except Exception:
