@@ -243,11 +243,11 @@ class OrientationIndex:
         pairs via the cached all-pairs decision matrix (MXU matmul path
         on accelerators, blocked-bitmap NumPy otherwise)."""
         if getattr(self, "_decisions", None) is None:
-            # the device path pays ~60 ms of fixed tunnel/dispatch cost;
-            # the NumPy path grows ~n^2 (measured: 30 ms at n=64,
-            # 850 ms at n=500) — crossover is ~n=128
+            # the device path pays ~60-90 ms of fixed tunnel/dispatch
+            # cost; the NumPy path grows ~n^2 (measured: 30 ms at n=64,
+            # 66 ms at n=128, 850 ms at n=500) — crossover is ~n=200
             use_device = (
-                len(self.sequences) >= 128
+                len(self.sequences) >= 192
                 and jax.default_backend() != "cpu"
             )
             if use_device:
