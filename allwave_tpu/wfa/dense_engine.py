@@ -37,7 +37,7 @@ class DenseConfig:
     k_max: int = 1 << 14
     #: memory budget for the (2L, B, K) choice+runlen planes of one batch
     choices_budget_bytes: int = 4 << 30
-    max_batch: int = 2048
+    max_batch: int = 4096
     #: run buffer width fetched per pair; overflowing pairs (rare — more
     #: mutation events than this) rerun with the full 2L+8 cap
     run_cap_initial: int = 128
