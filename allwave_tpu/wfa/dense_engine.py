@@ -264,6 +264,9 @@ class DenseBandAligner:
                     ),
                 )
             )
+            # clamp to a power of two: groups pad to the next pow2, so a
+            # non-pow2 bsz would allocate up to 2x the planned planes
+            bsz = 1 << (bsz.bit_length() - 1)
             ia = np.asarray(idxs, dtype=np.int64)
             qlens_all, tlens_all = self._lens
             idxs = ia[
