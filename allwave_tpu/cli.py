@@ -89,6 +89,27 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _complete_paf_pair(line: bytes):
+    """(query_id, target_id) if this byte line is a complete PAF record
+    (newline-terminated, >=12 tab fields, numeric coordinate columns,
+    valid strand), else None — used by --resume to ignore/truncate a
+    partial record left by a crash mid-write."""
+    if not line.endswith(b"\n"):
+        return None
+    parts = line.rstrip(b"\n").split(b"\t")
+    if len(parts) < 12:
+        return None
+    if parts[4] not in (b"+", b"-"):
+        return None
+    for col in (1, 2, 3, 6, 7, 8, 9, 10, 11):
+        if not parts[col].isdigit():
+            return None
+    try:
+        return (parts[0].decode(), parts[5].decode())
+    except UnicodeDecodeError:
+        return None
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_arg_parser().parse_args(argv)
 
@@ -114,7 +135,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     try:
         sequences = read_fasta(args.input)
-    except OSError as e:
+    except (OSError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
 
@@ -200,6 +221,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         exclude_self=True,
         use_mash_orientation=not args.wfa_orientation,
         sparsification=sparsification,
+        threads=args.threads,
     )
 
     append = False
@@ -210,12 +232,28 @@ def main(argv: Optional[List[str]] = None) -> int:
             print("Error: --resume requires -o/--output", file=sys.stderr)
             return 2
         if os.path.exists(args.output):
+            # only complete PAF records count as done: a crash mid-write
+            # (the exact scenario --resume exists for) leaves a
+            # truncated trailing line, which must be dropped from the
+            # file AND realigned, never kept as a corrupt record
             done = set()
-            with open(args.output) as f:
+            good_end = 0
+            with open(args.output, "rb") as f:
                 for line in f:
-                    parts = line.rstrip("\n").split("\t")
-                    if len(parts) >= 6:
-                        done.add((parts[0], parts[5]))
+                    rec = _complete_paf_pair(line)
+                    if rec is None:
+                        break
+                    done.add(rec)
+                    good_end += len(line)
+                file_end = f.seek(0, 2)
+            if good_end < file_end:
+                with open(args.output, "rb+") as f:
+                    f.truncate(good_end)
+                print(
+                    f"Resuming: dropped an incomplete trailing record "
+                    f"from {args.output}",
+                    file=sys.stderr,
+                )
             skipped = aligner.skip_done_pairs(done)
             if skipped:
                 print(
@@ -242,24 +280,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=65536)
+    writer_err: List[BaseException] = []
 
     def writer():
-        while True:
-            result = q.get()
-            if result is None:
-                return
-            out.write(alignment_to_paf(result, sequences) + "\n")
+        try:
+            while True:
+                result = q.get()
+                if result is None:
+                    return
+                out.write(alignment_to_paf(result, sequences) + "\n")
+        except BaseException as e:  # disk full, I/O error, ...
+            writer_err.append(e)
+            # keep draining so producers never block on a full queue
+            # once the writer is dead; the error re-raises in cb/main
+            while q.get() is not None:
+                pass
 
     wt = threading.Thread(target=writer, daemon=True)
     wt.start()
     try:
         def cb(result):
+            if writer_err:
+                raise writer_err[0]
             q.put(result)
             progress.update()
 
         aligner.for_each_with_callback(cb)
         q.put(None)
         wt.join()
+        if writer_err:
+            raise writer_err[0]
         progress.finish()
         if not args.no_progress:
             from .utils.telemetry import counters
@@ -273,6 +323,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                     file=sys.stderr,
                 )
     finally:
+        # stop the writer before closing the file — it may be mid-write
+        # when the pipeline raises
+        if wt.is_alive():
+            import queue as _queue
+
+            try:
+                q.put_nowait(None)
+            except _queue.Full:
+                pass
+            wt.join(timeout=5.0)
         if args.output:
             out.close()
     return 0

@@ -107,6 +107,31 @@ def cigar_bytes_to_string(cigar_bytes: np.ndarray) -> str:
     return "".join(parts)
 
 
+def runs_to_cigar_string(ops, lens) -> str:
+    """Run-length CIGAR string straight from (op, len) run pairs — same
+    output bytes as cigar_bytes_to_string(expanded) without ever
+    materializing the per-base array. Adjacent same-op runs (the device
+    run buffers cap a run at 255, so a 300-base match arrives as
+    255+45) are merged, preserving byte-equality with the reference's
+    encoder (alignment.rs:347-376)."""
+    parts = []
+    prev_op = -1
+    acc = 0
+    for o, l in zip(np.asarray(ops).tolist(), np.asarray(lens).tolist()):
+        if l == 0:
+            continue
+        if o == prev_op:
+            acc += l
+        else:
+            if acc:
+                parts.append(f"{acc}{_OP_CHAR.get(prev_op, '?')}")
+            prev_op = o
+            acc = l
+    if acc:
+        parts.append(f"{acc}{_OP_CHAR.get(prev_op, '?')}")
+    return "".join(parts)
+
+
 def cigar_string_to_bytes(cigar: str) -> np.ndarray:
     """Inverse of :func:`cigar_bytes_to_string`: parse a standard CIGAR
     string (with '='/'X'/'I'/'D') back into WFA2-convention op bytes.

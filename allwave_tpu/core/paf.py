@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence as PySequence
 
-from .cigar import cigar_bytes_to_string
+from .cigar import cigar_bytes_to_string, runs_to_cigar_string
 from .types import AlignmentResult, Sequence
 
 
@@ -46,7 +46,11 @@ def alignment_to_paf(result: AlignmentResult, sequences: PySequence[Sequence]) -
     else:
         identity = 0.0
 
-    cigar = cigar_bytes_to_string(result.cigar_bytes)
+    runs = getattr(result, "cigar_runs", None)
+    if runs is not None:
+        cigar = runs_to_cigar_string(*runs)
+    else:
+        cigar = cigar_bytes_to_string(result.cigar_bytes)
     strand = "-" if result.is_reverse else "+"
 
     return (

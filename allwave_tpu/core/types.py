@@ -156,25 +156,92 @@ OP_D = ord("D")
 FAILED_SCORE = 2**31 - 1
 
 
-@dataclass
 class AlignmentResult:
     """Result of one pairwise alignment (reference: types.rs:14-33).
 
     ``cigar_bytes`` is a uint8 numpy array of per-base ops in the WFA2 byte
     convention above (one byte per aligned base, NOT run-length encoded).
-    """
 
-    query_idx: int
-    target_idx: int
-    query_start: int
-    query_end: int
-    target_start: int
-    target_end: int
-    is_reverse: bool
-    cigar_bytes: np.ndarray  # uint8, WFA2 convention
-    score: int  # lower is better
-    num_matches: int
-    alignment_length: int
+    Internally the CIGAR may be carried as RUN-LENGTH pairs
+    (``cigar_runs=(ops, lens)``, start->end order, same WFA2 op bytes) —
+    the engines emit runs and the PAF serializer consumes runs, so the
+    per-base expansion only materializes if ``cigar_bytes`` is actually
+    read (API parity with the reference's byte-level field)."""
+
+    __slots__ = (
+        "query_idx",
+        "target_idx",
+        "query_start",
+        "query_end",
+        "target_start",
+        "target_end",
+        "is_reverse",
+        "score",
+        "num_matches",
+        "alignment_length",
+        "_cigar_bytes",
+        "_cigar_runs",
+    )
+
+    def __init__(
+        self,
+        query_idx: int,
+        target_idx: int,
+        query_start: int,
+        query_end: int,
+        target_start: int,
+        target_end: int,
+        is_reverse: bool,
+        cigar_bytes: Optional[np.ndarray] = None,
+        score: int = FAILED_SCORE,
+        num_matches: int = 0,
+        alignment_length: int = 0,
+        cigar_runs=None,
+    ):
+        self.query_idx = query_idx
+        self.target_idx = target_idx
+        self.query_start = query_start
+        self.query_end = query_end
+        self.target_start = target_start
+        self.target_end = target_end
+        self.is_reverse = is_reverse
+        self.score = score
+        self.num_matches = num_matches
+        self.alignment_length = alignment_length
+        self._cigar_bytes = cigar_bytes
+        self._cigar_runs = cigar_runs
+        if cigar_bytes is None and cigar_runs is None:
+            self._cigar_bytes = np.zeros(0, dtype=np.uint8)
+
+    @property
+    def cigar_bytes(self) -> np.ndarray:
+        if self._cigar_bytes is None:
+            ops, lens = self._cigar_runs
+            self._cigar_bytes = np.repeat(
+                np.asarray(ops, dtype=np.uint8),
+                np.asarray(lens, dtype=np.int64),
+            )
+        return self._cigar_bytes
+
+    @cigar_bytes.setter
+    def cigar_bytes(self, value: np.ndarray) -> None:
+        self._cigar_bytes = value
+        self._cigar_runs = None
+
+    @property
+    def cigar_runs(self):
+        """(ops, lens) run pairs if the result was built from runs, else
+        None (callers fall back to cigar_bytes)."""
+        return self._cigar_runs
+
+    def __repr__(self) -> str:
+        return (
+            f"AlignmentResult(query_idx={self.query_idx}, "
+            f"target_idx={self.target_idx}, score={self.score}, "
+            f"num_matches={self.num_matches}, "
+            f"alignment_length={self.alignment_length}, "
+            f"is_reverse={self.is_reverse})"
+        )
 
     @staticmethod
     def failed(query_idx: int, target_idx: int, is_reverse: bool) -> "AlignmentResult":

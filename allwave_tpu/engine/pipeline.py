@@ -38,14 +38,25 @@ def _result_from_cigar(
     j: int,
     is_rev: bool,
     score: int,
-    cigar: np.ndarray,
+    cigar,
     stats=None,
 ) -> AlignmentResult:
+    """cigar: per-base uint8 array OR an (ops, lens) runs tuple — runs
+    pass through to the result unexpanded (the PAF serializer consumes
+    runs directly)."""
+    is_runs = isinstance(cigar, tuple)
     if stats is not None:
         num_matches, alignment_length, query_end, target_end = stats
     else:
-        num_matches, alignment_length = count_cigar_operations(cigar)
-        query_end, target_end = parse_cigar_lengths(cigar)
+        arr = cigar if not is_runs else None
+        if arr is None:
+            arr = np.repeat(
+                np.asarray(cigar[0], np.uint8), np.asarray(cigar[1], np.int64)
+            )
+            cigar = arr
+            is_runs = False
+        num_matches, alignment_length = count_cigar_operations(arr)
+        query_end, target_end = parse_cigar_lengths(arr)
     return AlignmentResult(
         query_idx=i,
         target_idx=j,
@@ -54,10 +65,11 @@ def _result_from_cigar(
         target_start=0,
         target_end=target_end,
         is_reverse=is_rev,
-        cigar_bytes=cigar,
+        cigar_bytes=None if is_runs else cigar,
         score=score,
         num_matches=num_matches,
         alignment_length=alignment_length,
+        cigar_runs=cigar if is_runs else None,
     )
 
 
@@ -75,6 +87,7 @@ class AllPairAligner:
         orientation_params: Optional[AlignmentParams] = None,
         engine_config: Optional[EngineConfig] = None,
         chunk_size: int = DEFAULT_CHUNK,
+        threads: int = 1,
     ):
         from ..core.types import NoSparsification
 
@@ -92,7 +105,7 @@ class AllPairAligner:
         self.chunk_size = chunk_size
         self.engine_config = engine_config
         self.pairs = build_pairs(sequences, self.sparsification, exclude_self)
-        self._orient = OrientationIndex(sequences)
+        self._orient = OrientationIndex(sequences, threads=max(int(threads), 1))
 
     @classmethod
     def with_options(
@@ -153,50 +166,42 @@ class AllPairAligner:
     # -- orientation -------------------------------------------------------
 
     def _orient_chunk(self, chunk: np.ndarray):
-        """Oriented query bytes / target bytes / is_reverse per pair,
-        plus per-pair estimated alignment scores from the mash distances
-        (None for the WFA-orientation mode) used as band-width hints."""
-        qs: List[bytes] = []
-        ts: List[bytes] = []
-        revs: List[bool] = []
+        """Pooled-index form of the oriented chunk: (pool_seqs, qidx,
+        tidx, is_reverse bool array, sigma_hint). The pool is the run's
+        sequences plus reverse-complement rows for the queries this
+        chunk flips — the engine materializes only referenced rows, so
+        nothing is hashed or copied per pair. sigma_hint is the per-pair
+        estimated alignment score from the mash distances (None for the
+        WFA-orientation mode), used as band-width hints."""
+        n = len(self.sequences)
+        if not hasattr(self, "_seq_lens"):
+            self._seq_lens = np.fromiter(
+                (len(s.seq) for s in self.sequences), np.int64, n
+            )
         sigma_hint = None
         if self.use_mash_orientation:
-            rev_arr = self._orient.orient_batch(chunk)
+            rev_arr = np.asarray(self._orient.orient_batch(chunk), dtype=bool)
             dists = self._orient.distance_batch(chunk)
-            revs = [bool(r) for r in rev_arr]
-            lens = np.array(
-                [
-                    max(
-                        len(self.sequences[int(i)].seq),
-                        len(self.sequences[int(j)].seq),
-                    )
-                    for i, j in chunk
-                ],
-                dtype=np.float64,
-            )
+            lens = np.maximum(
+                self._seq_lens[chunk[:, 0]], self._seq_lens[chunk[:, 1]]
+            ).astype(np.float64)
             # expected score ~ divergence * length * mismatch penalty
             # (+32 for sketch noise / small indels). A low estimate only
             # costs one escalation round; results stay exact either way.
             x = float(self.params.mismatch_penalty)
             sigma_hint = (dists * lens * x + 32).astype(np.int64)
-            for (i, j), is_rev in zip(chunk, revs):
-                qs.append(
-                    self._orient.rc(int(i))
-                    if is_rev
-                    else self.sequences[int(i)].seq
-                )
-                ts.append(self.sequences[int(j)].seq)
         else:
-            revs = self._orient_wfa(chunk)
-            for (i, j), is_rev in zip(chunk, revs):
-                q = (
-                    self._orient.rc(int(i))
-                    if is_rev
-                    else self.sequences[int(i)].seq
-                )
-                qs.append(q)
-                ts.append(self.sequences[int(j)].seq)
-        return qs, ts, revs, sigma_hint
+            rev_arr = np.asarray(self._orient_wfa(chunk), dtype=bool)
+        qi = chunk[:, 0].astype(np.int64)
+        ti = chunk[:, 1].astype(np.int64)
+        pool_seqs = [s.seq for s in self.sequences]
+        rc_ids = np.unique(qi[rev_arr]) if rev_arr.any() else []
+        rc_row = np.zeros(n, dtype=np.int64)
+        for pos, i in enumerate(np.asarray(rc_ids).tolist()):
+            rc_row[i] = len(pool_seqs)
+            pool_seqs.append(self._orient.rc(int(i)))
+        qidx = np.where(rev_arr, rc_row[qi], qi)
+        return pool_seqs, qidx, ti, rev_arr, sigma_hint
 
     def _orient_wfa(self, chunk: np.ndarray) -> List[bool]:
         """WFA-edit-distance orientation (reference: alignment.rs:157-175):
@@ -230,15 +235,21 @@ class AllPairAligner:
         pairs = self.pairs
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
-            qs, ts, revs, sigma_hint = self._orient_chunk(chunk)
-            aligned, stats = eng.align_pairs(
-                list(zip(qs, ts)), with_stats=True, sigma_hint=sigma_hint
+            pool_seqs, qidx, tidx, revs, sigma_hint = self._orient_chunk(chunk)
+            aligned, stats = eng.align_pairs_indexed(
+                pool_seqs,
+                qidx,
+                tidx,
+                with_stats=True,
+                sigma_hint=sigma_hint,
+                as_runs=True,
             )
             # one C-level conversion for the whole chunk instead of
             # 6 scalar int() calls per record
             chunk_l = chunk.tolist()
             stats_l = stats.tolist()
-            for (i, j), is_rev, res, st in zip(chunk_l, revs, aligned, stats_l):
+            revs_l = revs.tolist()
+            for (i, j), is_rev, res, st in zip(chunk_l, revs_l, aligned, stats_l):
                 if res is None:
                     result = AlignmentResult.failed(i, j, is_rev)
                 else:
@@ -249,18 +260,22 @@ class AllPairAligner:
     def __iter__(self):
         """Sequential pull-based iteration (reference: iterator.rs:151-171).
         Still batched under the hood, chunk by chunk."""
-        results: List[AlignmentResult] = []
         pen = resolve_penalties(self.params)
         eng = UnifiedAligner(pen, wavefront_config=self.engine_config)
         pairs = self.pairs
         for lo in range(0, pairs.shape[0], self.chunk_size):
             chunk = pairs[lo : lo + self.chunk_size]
-            qs, ts, revs, sigma_hint = self._orient_chunk(chunk)
-            aligned, stats = eng.align_pairs(
-                list(zip(qs, ts)), with_stats=True, sigma_hint=sigma_hint
+            pool_seqs, qidx, tidx, revs, sigma_hint = self._orient_chunk(chunk)
+            aligned, stats = eng.align_pairs_indexed(
+                pool_seqs,
+                qidx,
+                tidx,
+                with_stats=True,
+                sigma_hint=sigma_hint,
+                as_runs=True,
             )
             for (i, j), is_rev, res, st in zip(
-                chunk.tolist(), revs, aligned, stats.tolist()
+                chunk.tolist(), revs.tolist(), aligned, stats.tolist()
             ):
                 if res is None:
                     yield AlignmentResult.failed(i, j, is_rev)

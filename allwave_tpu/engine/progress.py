@@ -38,12 +38,39 @@ class ProgressTracker:
         self.count = 0
         self._last_log = self.start
 
+    BAR_WIDTH = 40
+
+    def _draw_bar(self, now: float) -> None:
+        """Interactive tty bar (the reference shows an indicatif bar when
+        stderr is a tty and no -o is given, main.rs:329-341): one line
+        redrawn in place with carriage returns, ~10 Hz."""
+        elapsed = now - self.start
+        frac = (self.count / self.total) if self.total else 1.0
+        filled = int(frac * self.BAR_WIDTH)
+        head = ">" if 0 < filled < self.BAR_WIDTH else ""
+        bar = "=" * max(filled - (1 if head else 0), 0) + head
+        bar = bar.ljust(self.BAR_WIDTH, "-")
+        rate = self.count / elapsed if elapsed > 0 else 0.0
+        remaining = self.total - self.count
+        eta = format_duration(remaining / rate) if rate > 0 else "?"
+        mins, secs = divmod(int(elapsed), 60)
+        self.out.write(
+            f"\r[{mins:02d}:{secs:02d}] [{bar}] {self.count}/{self.total} "
+            f"({rate:.1f}/s, ETA {eta})\x1b[K"
+        )
+        self.out.flush()
+
     def update(self, n: int = 1) -> None:
         if not self.enabled:
             self.count += n
             return
         self.count += n
         now = time.monotonic()
+        if self.interactive:
+            if self.count == self.total or (now - self._last_log) >= 0.1:
+                self._last_log = now
+                self._draw_bar(now)
+            return
         if self.count == self.total or (now - self._last_log) >= 1.0:
             self._last_log = now
             elapsed = now - self.start
@@ -67,6 +94,8 @@ class ProgressTracker:
     def finish(self) -> None:
         if not self.enabled:
             return
+        if self.interactive:
+            self.out.write("\r\x1b[K")  # clear the bar line
         elapsed = time.monotonic() - self.start
         rate = self.total / elapsed if elapsed > 0 else 0.0
         print(

@@ -58,10 +58,12 @@ class OrientationIndex:
         sequences: PySequence[Sequence],
         k: int = ORIENTATION_KMER_SIZE,
         sketch_size: int = ORIENTATION_SKETCH_SIZE,
+        threads: int = 1,
     ):
         self.sequences = sequences
         self.k = k
         self.sketch_size = sketch_size
+        self.threads = threads
         self._fwd: list = [None] * len(sequences)
         self._rev: list = [None] * len(sequences)
         self._fwd_sets: list = [None] * len(sequences)
@@ -85,6 +87,26 @@ class OrientationIndex:
             self._rev_sets[i] = np.unique(sk)
         return self._rev_sets[i]
 
+    def _ensure_sets(self, idx) -> None:
+        """Build any missing stranded sketch sets for these sequence
+        indices, fanning the NumPy hashing/sorting across a host thread
+        pool when threads > 1 (the CLI's -t; reference: the rayon pool,
+        main.rs:130-133). Each worker writes distinct cache slots."""
+        missing = [
+            int(i)
+            for i in dict.fromkeys(int(i) for i in idx)
+            if self._fwd_sets[int(i)] is None or self._rev_sets[int(i)] is None
+        ]
+        if self.threads > 1 and len(missing) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def build(i):
+                self._fwd_set(i)
+                self._rev_set(i)
+
+            with ThreadPoolExecutor(min(self.threads, len(missing))) as ex:
+                list(ex.map(build, missing))
+
     def orient(self, query_idx: int, target_idx: int) -> bool:
         """True iff the query should be reverse-complemented
         (reference: alignment.rs:69-94; ties -> forward)."""
@@ -106,27 +128,40 @@ class OrientationIndex:
 
     def _decision_matrix(self) -> np.ndarray:
         """(n, n) bool: [qi, tj] = should query qi be RC'd against
-        target tj. Computed with a value->target bitmap per TARGET
-        BLOCK: dense ids over the block's sketch hashes, packed
-        membership bits, then each query's intersection counts against
-        the whole block are a searchsorted + row-take + unpackbits
-        column sum — no per-pair set ops, memory bounded for large n.
-        Bit-identical decisions to orient(): same float64 Jaccard, same
-        tie -> forward rule."""
+        target tj (the full-matrix case of _decision_submatrix)."""
         n = len(self.sequences)
-        fsets = [self._fwd_set(i) for i in range(n)]
-        rsets = [self._rev_set(i) for i in range(n)]
+        idx = np.arange(n, dtype=np.int64)
+        decisions, dist = self._decision_submatrix(idx, idx)
+        self._distances = dist
+        return decisions
+
+    def _decision_submatrix(self, q_idx: np.ndarray, t_idx: np.ndarray):
+        """(dec, dist) over the requested query rows x target rows.
+        Computed with a value->target bitmap per TARGET BLOCK: dense ids
+        over the block's sketch hashes, packed membership bits, then
+        each query's intersection counts against the whole block are a
+        searchsorted + row-take + unpackbits column sum — no per-pair
+        set ops, memory bounded for large n, and O(|Q|*|T|) work instead
+        of O(n^2) when sparsification requests few pairs. Bit-identical
+        decisions to orient(): same float64 Jaccard, same tie -> forward
+        rule."""
+        nq, nt = len(q_idx), len(t_idx)
+        self._ensure_sets(np.concatenate([np.asarray(q_idx), np.asarray(t_idx)]))
+        fsets = [self._fwd_set(int(i)) for i in q_idx]
+        rsets = [self._rev_set(int(i)) for i in q_idx]
+        tsets_all = [self._fwd_set(int(j)) for j in t_idx]
         sizes_f = np.array([s.size for s in fsets], dtype=np.int64)
         sizes_r = np.array([s.size for s in rsets], dtype=np.int64)
+        sizes_t = np.array([s.size for s in tsets_all], dtype=np.int64)
 
-        decisions = np.zeros((n, n), dtype=bool)
-        best_j = np.zeros((n, n), dtype=np.float64)
+        decisions = np.zeros((nq, nt), dtype=bool)
+        best_j = np.zeros((nq, nt), dtype=np.float64)
         blk = self.DECISION_BLOCK
-        for t_lo in range(0, n, blk):
-            t_hi = min(t_lo + blk, n)
+        for t_lo in range(0, nt, blk):
+            t_hi = min(t_lo + blk, nt)
             nb = t_hi - t_lo
-            tsets = fsets[t_lo:t_hi]
-            t_sizes = sizes_f[t_lo:t_hi]
+            tsets = tsets_all[t_lo:t_hi]
+            t_sizes = sizes_t[t_lo:t_hi]
             cat = (
                 np.concatenate(tsets)
                 if nb and sum(x.size for x in tsets)
@@ -154,7 +189,7 @@ class OrientationIndex:
                 )
                 return bits.sum(axis=0, dtype=np.int64)
 
-            for i in range(n):
+            for i in range(nq):
                 fi = counts_vs_block(fsets[i])
                 ri = counts_vs_block(rsets[i])
                 fu = sizes_f[i] + t_sizes - fi
@@ -172,8 +207,7 @@ class OrientationIndex:
                 / self.k,
                 1.0,
             )
-        self._distances = np.minimum(dist, 1.0)
-        return decisions
+        return decisions, np.minimum(dist, 1.0)
 
     #: ceiling for the device membership matrix (2n x U) int8 bytes;
     #: larger inputs fall back to the blocked-bitmap NumPy path
@@ -191,6 +225,7 @@ class OrientationIndex:
         orders of magnitude wider than one f64 ulp, so rounding can
         never flip the comparison. Distances (band hints only) are f32."""
         n = len(self.sequences)
+        self._ensure_sets(range(n))
         fsets = [self._fwd_set(i) for i in range(n)]
         rsets = [self._rev_set(i) for i in range(n)]
         sizes_f = np.array([s.size for s in fsets], dtype=np.int32)
@@ -238,11 +273,38 @@ class OrientationIndex:
         self._distances = np.asarray(dist, dtype=np.float64)[:n, :n]
         return np.asarray(dec)[:n, :n]
 
+    def _sub_lookup(self, idx: np.ndarray):
+        """Positions of idx pairs inside the cached submatrix, or None
+        if any pair falls outside it."""
+        sub = getattr(self, "_sub", None)
+        if sub is None:
+            return None
+        q_idx, t_idx, dec, dist = sub
+        qp = np.searchsorted(q_idx, idx[:, 0]).clip(0, q_idx.size - 1)
+        tp = np.searchsorted(t_idx, idx[:, 1]).clip(0, t_idx.size - 1)
+        if np.all(q_idx[qp] == idx[:, 0]) and np.all(t_idx[tp] == idx[:, 1]):
+            return dec[qp, tp], dist[qp, tp]
+        return None
+
     def orient_batch(self, idx_pairs) -> np.ndarray:
         """Vectorized ``orient`` over a list of (query_idx, target_idx)
         pairs via the cached all-pairs decision matrix (MXU matmul path
-        on accelerators, blocked-bitmap NumPy otherwise)."""
+        on accelerators, blocked-bitmap NumPy otherwise). Sparse pair
+        sets (<< n^2, e.g. tree sparsification at large n) compute only
+        the requested query-row x target-row submatrix instead of the
+        full (n, n) planes."""
+        idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
+        n = len(self.sequences)
         if getattr(self, "_decisions", None) is None:
+            hit = self._sub_lookup(idx)
+            if hit is not None:
+                return hit[0]
+            q_idx = np.unique(idx[:, 0])
+            t_idx = np.unique(idx[:, 1])
+            if q_idx.size * t_idx.size * 4 < n * n:
+                dec, dist = self._decision_submatrix(q_idx, t_idx)
+                self._sub = (q_idx, t_idx, dec, dist)
+                return self._sub_lookup(idx)[0]
             # the device path pays ~60-90 ms of fixed tunnel/dispatch
             # cost; the NumPy path grows ~n^2 (measured: 30 ms at n=64,
             # 66 ms at n=128, 850 ms at n=500) — crossover is ~n=200
@@ -257,16 +319,18 @@ class OrientationIndex:
                     self._decisions = self._decision_matrix()
             else:
                 self._decisions = self._decision_matrix()
-        idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
         return self._decisions[idx[:, 0], idx[:, 1]]
 
     def distance_batch(self, idx_pairs) -> np.ndarray:
         """Mash distance estimates for (query_idx, target_idx) pairs in
         the chosen orientation — a free by-product of orient_batch, used
         to pick each pair's initial band width."""
-        if getattr(self, "_decisions", None) is None:
-            self._decisions = self._decision_matrix()
         idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
+        if getattr(self, "_decisions", None) is None:
+            hit = self._sub_lookup(idx)
+            if hit is not None:
+                return hit[1]
+            self._decisions = self._decision_matrix()
         return self._distances[idx[:, 0], idx[:, 1]]
 
 

@@ -111,9 +111,15 @@ def sharded_dense_step(
     Built with shard_map so the per-shard body can be the Pallas kernel
     (GSPMD cannot partition a pallas_call). Returns
     fn(pool, qidx, tidx, qlens, tlens) -> packed (B, 16+2*run_cap) u8
-    with the dense_align_packed row layout."""
+    with the dense_align_packed row layout.
+
+    The batch size need NOT divide the mesh's "data" axis: the wrapper
+    pads the index/length arrays to a multiple of it (padded rows point
+    at pool row 0 with length 0 — the standard padding contract) and
+    slices the packed output back to the true batch size."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
     from ..wfa import dense as D_
 
@@ -122,17 +128,33 @@ def sharded_dense_step(
             pool, qidx, tidx, qlens, tlens, pen, k_width, l_pad, run_cap, impl
         )
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, None),  # sequence pool: replicated
-            P("data"),
-            P("data"),
-            P("data"),
-            P("data"),
-        ),
-        out_specs=P("data", None),
-        check_vma=False,
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None),  # sequence pool: replicated
+                P("data"),
+                P("data"),
+                P("data"),
+                P("data"),
+            ),
+            out_specs=P("data", None),
+            check_vma=False,
+        )
     )
-    return jax.jit(fn)
+    data_n = int(mesh.shape["data"])
+
+    def padded(pool, qidx, tidx, qlens, tlens):
+        b0 = qidx.shape[0]
+        pad = (-b0) % data_n
+        if pad:
+            z = jnp.zeros((pad,), jnp.int32)
+            qidx = jnp.concatenate([jnp.asarray(qidx, jnp.int32), z])
+            tidx = jnp.concatenate([jnp.asarray(tidx, jnp.int32), z])
+            qlens = jnp.concatenate([jnp.asarray(qlens, jnp.int32), z])
+            tlens = jnp.concatenate([jnp.asarray(tlens, jnp.int32), z])
+        out = fn(pool, qidx, tidx, qlens, tlens)
+        return out[:b0] if pad else out
+
+    return padded

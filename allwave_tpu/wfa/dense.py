@@ -355,9 +355,14 @@ def dense_align_packed(
     on-device, uploading kilobytes instead of megabytes for all-pairs
     workloads — and (b) returns ONE uint8 buffer per batch:
 
-        out[b] = [score,nruns,cert,overflow as 4x int32 LE | ops | lens]
+        out[b] = [score,nruns,cert,overflow,
+                  num_matches,alignment_length,query_consumed,
+                  target_consumed as 8x int32 LE | ops | lens]
 
-    shape (B, 16 + 2*run_cap), fetched with a single transfer."""
+    shape (B, 32 + 2*run_cap), fetched with a single transfer. The four
+    PAF stat columns (reference: alignment.rs:292-344 semantics) are
+    reduced from the run buffers ON DEVICE — the host-side (B, run_cap)
+    masked reductions cost ~10s of ms per batch on slow hosts."""
     qs = jnp.take(pool, qidx, axis=0)
     ts = jnp.take(pool, tidx, axis=0)
     if impl == "pallas":
@@ -381,16 +386,29 @@ def dense_align_packed(
         compressed=(impl == "pallas" and _pallas_compressed(k_width)),
     )
     B = scores.shape[0]
+    run_cap_n = ops.shape[1]
+    valid = (
+        jnp.arange(run_cap_n, dtype=jnp.int32)[None, :] < nruns[:, None]
+    )
+    l32 = jnp.where(valid, lens.astype(jnp.int32), 0)
+    m_ct = jnp.sum(jnp.where(ops == _OP_M, l32, 0), axis=1)
+    x_ct = jnp.sum(jnp.where(ops == _OP_X, l32, 0), axis=1)
+    i_ct = jnp.sum(jnp.where(ops == _OP_I, l32, 0), axis=1)
+    d_ct = jnp.sum(jnp.where(ops == _OP_D, l32, 0), axis=1)
     meta = jnp.stack(
         [
             scores.astype(jnp.int32),
             nruns.astype(jnp.int32),
             cert.astype(jnp.int32),
             overflow.astype(jnp.int32),
+            m_ct,  # num_matches
+            m_ct + x_ct,  # alignment_length (gaps excluded)
+            m_ct + x_ct + d_ct,  # query bases consumed (WFA2 I/D swap)
+            m_ct + x_ct + i_ct,  # target bases consumed
         ],
         axis=1,
-    )  # (B, 4) int32
-    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(B, 16)
+    )  # (B, 8) int32
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(B, 32)
     return jnp.concatenate([meta_u8, ops, lens], axis=1)
 
 

@@ -115,56 +115,109 @@ class DenseBandAligner:
             self.config.k_max,
         )
 
-    def _build_pool(self, pairs: List[Tuple[bytes, bytes]], l_pad: int):
-        """ONE device-resident UNIQUE-sequence pool per align_pairs
-        call + per-pair row indices: all-pairs workloads reference each
-        sequence ~2(n-1) times, so this sends kilobytes over the
-        ~40 MB/s driver tunnel instead of megabytes of duplicated rows,
-        and every dispatch group of the call shares the same upload."""
+    def _build_pool_indexed(
+        self, pool_seqs, qidx: np.ndarray, tidx: np.ndarray, l_pad: int
+    ):
+        """ONE device-resident sequence pool per call + per-pair row
+        indices: all-pairs workloads reference each sequence ~2(n-1)
+        times, so this sends kilobytes over the ~40 MB/s driver tunnel
+        instead of megabytes of duplicated rows, and every dispatch
+        group of the call shares the same upload. Only rows actually
+        referenced by (qidx, tidx) are materialized (callers may hand
+        in a shared whole-run pool)."""
         import jax.numpy as jnp
 
-        pool_map: Dict[bytes, int] = {}
-        for q, t in pairs:
-            for sq in (q, t):
-                if sq not in pool_map:
-                    pool_map[sq] = len(pool_map)
-        p_pad = self._next_pow2(max(len(pool_map), 1))
+        used = np.unique(np.concatenate([qidx, tidx]))
+        remap = np.zeros(
+            int(used.max()) + 1 if used.size else 1, dtype=np.int32
+        )
+        remap[used] = np.arange(used.size, dtype=np.int32)
+        p_pad = self._next_pow2(max(int(used.size), 1))
         pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
-        for sq, r in pool_map.items():
+        for r, src in enumerate(used.tolist()):
+            sq = pool_seqs[src]
             pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
-        qidx = np.array([pool_map[q] for q, _ in pairs], dtype=np.int32)
-        tidx = np.array([pool_map[t] for _, t in pairs], dtype=np.int32)
-        qlens = np.array([len(q) for q, _ in pairs], dtype=np.int32)
-        tlens = np.array([len(t) for _, t in pairs], dtype=np.int32)
-        return (jnp.asarray(pool), qidx, tidx, qlens, tlens)
+        qlens_all, tlens_all = self._lens
+        return (
+            jnp.asarray(pool),
+            remap[qidx].astype(np.int32),
+            remap[tidx].astype(np.int32),
+            qlens_all.astype(np.int32),
+            tlens_all.astype(np.int32),
+        )
 
     def align_pairs(
         self,
         pairs: List[Tuple[bytes, bytes]],
         with_stats: bool = False,
         sigma_hint=None,
+        as_runs: bool = False,
     ):
         """[(score, cigar)] in input order (None = failed). With
         with_stats=True also returns an (n, 4) int64 array of
-        [num_matches, alignment_length, query_len, target_len] computed
-        vectorized from the run buffers (zeros for failed rows).
+        [num_matches, alignment_length, query_len, target_len] (reduced
+        ON DEVICE from the run buffers; zeros for failed rows).
+
+        as_runs=True: each cigar comes back as (ops, lens) run pairs in
+        start->end order instead of a per-base byte array — the
+        streaming pipeline feeds these straight to the PAF serializer,
+        skipping the expand-then-re-encode round trip.
 
         sigma_hint: optional per-pair estimated alignment scores (e.g.
         from mash distances) — each pair starts at the band width its
         estimate certifies instead of one global initial K. Wrong hints
         only cost an escalation round; results stay exact."""
         n = len(pairs)
+        if n == 0:
+            results: List[Optional[Tuple[int, np.ndarray]]] = []
+            return (results, np.zeros((0, 4), np.int64)) if with_stats else results
+        pool_map: Dict[bytes, int] = {}
+        for q, t in pairs:
+            for sq in (q, t):
+                if sq not in pool_map:
+                    pool_map[sq] = len(pool_map)
+        pool_seqs = list(pool_map)
+        qidx = np.fromiter(
+            (pool_map[q] for q, _ in pairs), dtype=np.int64, count=n
+        )
+        tidx = np.fromiter(
+            (pool_map[t] for _, t in pairs), dtype=np.int64, count=n
+        )
+        return self.align_pairs_indexed(
+            pool_seqs,
+            qidx,
+            tidx,
+            with_stats=with_stats,
+            sigma_hint=sigma_hint,
+            as_runs=as_runs,
+        )
+
+    def align_pairs_indexed(
+        self,
+        pool_seqs,
+        qidx: np.ndarray,
+        tidx: np.ndarray,
+        with_stats: bool = False,
+        sigma_hint=None,
+        as_runs: bool = False,
+    ):
+        """align_pairs with the pair list already in pooled-index form:
+        pool_seqs is a list of byte strings and qidx/tidx are per-pair
+        row indices into it. The streaming pipeline uses this entry
+        point directly (it knows the indices), skipping the per-pair
+        bytes hashing of the dict-based wrapper."""
+        self._as_runs = as_runs
+        n = len(qidx)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
         stats = np.zeros((n, 4), dtype=np.int64)
         if n == 0:
             return (results, stats) if with_stats else results
 
-        qlens_all = np.fromiter(
-            (len(q) for q, _ in pairs), dtype=np.int64, count=n
+        pool_lens = np.fromiter(
+            (len(b) for b in pool_seqs), dtype=np.int64, count=len(pool_seqs)
         )
-        tlens_all = np.fromiter(
-            (len(t) for _, t in pairs), dtype=np.int64, count=n
-        )
+        qlens_all = pool_lens[qidx]
+        tlens_all = pool_lens[tidx]
         self._lens = (qlens_all, tlens_all)
         sum_lens = qlens_all + tlens_all
         kend_abs_all = np.abs(tlens_all - qlens_all)
@@ -209,7 +262,7 @@ class DenseBandAligner:
             for b, kv in enumerate(uniq_ks):
                 hi = bounds[b + 1] if b + 1 < len(bounds) else n
                 rounds[(int(kv), cap0)] = order[bounds[b] : hi].tolist()
-        self._pool = self._build_pool(pairs, l_pad)
+        self._pool = self._build_pool_indexed(pool_seqs, qidx, tidx, l_pad)
 
         # coalesce small hint-rounds into the next wider band: a tiny
         # round costs a full dispatch + tunnel round trip (~35 ms) but
@@ -242,7 +295,7 @@ class DenseBandAligner:
         def _drain_one():
             g, buf, kk, cc = inflight.popleft()
             for i, key in self._collect_group(
-                pairs, g, buf, results, stats, kk, cc, l_pad
+                g, buf, results, stats, kk, cc, l_pad
             ):
                 rounds.setdefault(key, []).append(i)
 
@@ -274,13 +327,13 @@ class DenseBandAligner:
             ].tolist()
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
-                dispatched = self._dispatch_group(pairs, group, k, cap, l_pad)
+                dispatched = self._dispatch_group(group, k, cap, l_pad)
                 inflight.append((group, dispatched, k, cap))
                 while len(inflight) > 2:
                     _drain_one()
         return (results, stats) if with_stats else results
 
-    def _dispatch_group(self, pairs, group, k, run_cap, l_pad):
+    def _dispatch_group(self, group, k, run_cap, l_pad):
         """Enqueue one fused forward+traceback dispatch (the sequence
         pool is already device-resident — see _build_pool); returns the
         in-flight device buffer (not yet transferred)."""
@@ -314,7 +367,7 @@ class DenseBandAligner:
         )
 
     def _collect_group(
-        self, pairs, group, device_buf, results, stats, k, run_cap, l_pad
+        self, group, device_buf, results, stats, k, run_cap, l_pad
     ) -> List[Tuple[int, Tuple[int, int]]]:
         """ONE device->host transfer; fills certified results and
         returns [(pair_idx, (next_k, next_cap)), ...] for escalations."""
@@ -322,43 +375,54 @@ class DenseBandAligner:
 
         with timed_dispatch(len(group), len(group) * 2 * l_pad * k):
             packed = np.asarray(device_buf)
-        meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
+        meta = packed[:, :32].copy().view(np.int32).reshape(-1, 8)
         scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
-        ops = packed[:, 16 : 16 + run_cap]
-        lens = packed[:, 16 + run_cap :]
+        ops = packed[:, 32 : 32 + run_cap]
+        lens = packed[:, 32 + run_cap :]
         good = (cert == 1) & (overflow == 0)
         full_cap = 2 * l_pad + 8
 
-        # vectorized PAF stats straight from the run buffers (the
-        # per-record expanded-cigar reductions showed up at ~0.5 s per
-        # 16k records in the pipeline profile)
-        valid = np.arange(run_cap)[None, :] < nruns[:, None]
-        l64 = lens.astype(np.int64)
-        m_ct = np.where((ops == ord("M")) & valid, l64, 0).sum(1)
-        x_ct = np.where((ops == ord("X")) & valid, l64, 0).sum(1)
-        i_ct = np.where((ops == ord("I")) & valid, l64, 0).sum(1)
-        d_ct = np.where((ops == ord("D")) & valid, l64, 0).sum(1)
-
-        cigars = expand_runs_batch(ops, lens, nruns)
+        as_runs = getattr(self, "_as_runs", False)
+        if not as_runs:
+            cigars = expand_runs_batch(ops, lens, nruns)
+        ng = len(group)  # rows past ng are batch padding
+        good_rows = np.flatnonzero(good[:ng])
+        stats_block = meta[good_rows, 4:8].astype(np.int64)
         escalate: List[Tuple[int, Tuple[int, int]]] = []
-        for j, i in enumerate(group):
-            if good[j]:
-                results[i] = (int(scores[j]), cigars[j])
-                stats[i, 0] = m_ct[j]
-                stats[i, 1] = m_ct[j] + x_ct[j]
-                stats[i, 2] = m_ct[j] + x_ct[j] + d_ct[j]  # query consumed
-                stats[i, 3] = m_ct[j] + x_ct[j] + i_ct[j]  # target consumed
-            elif cert[j] == 1:  # certified score, run buffer too small
-                escalate.append((i, (k, full_cap)))
+        scores_l = scores.tolist()
+        nruns_l = nruns.tolist()
+        for row, j in enumerate(good_rows.tolist()):
+            i = group[j]
+            if as_runs:
+                nr = nruns_l[j]
+                if nr > 0:
+                    runs = (ops[j, nr - 1 :: -1], lens[j, nr - 1 :: -1])
+                else:
+                    runs = (
+                        np.zeros(0, np.uint8),
+                        np.zeros(0, np.uint8),
+                    )
+                results[i] = (scores_l[j], runs)
             else:
-                kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                results[i] = (scores_l[j], cigars[j])
+            stats[i] = stats_block[row]
+        for j in np.flatnonzero(~good[:ng]).tolist():
+            i = group[j]
+            if cert[j] == 1:  # certified score, run buffer too small
+                if run_cap < full_cap:
+                    escalate.append((i, (k, full_cap)))
+                # else: already at the full cap — cannot grow further, so
+                # re-queueing would loop; leave as None (failed-pair
+                # contract, same guard as segmented.py)
+            else:
+                kend_abs = abs(int(self._lens[1][i] - self._lens[0][i]))
                 if scores[j] < D_.INF:
                     nk = self._k_for_score(int(scores[j]), kend_abs)
                     nk = max(nk, 2 * k)  # always strictly widen
                 else:
                     nk = 2 * k
                 k_full = self._round_k(
-                    len(pairs[i][0]) + len(pairs[i][1]) + 1
+                    int(self._lens[0][i] + self._lens[1][i]) + 1
                 )
                 nk = min(nk, max(k_full, 2 * k))
                 escalate.append((i, (nk, run_cap)))
@@ -395,27 +459,69 @@ class UnifiedAligner:
         pairs: List[Tuple[bytes, bytes]],
         with_stats: bool = False,
         sigma_hint=None,
+        as_runs: bool = False,
     ):
         n = len(pairs)
+        if n == 0:
+            out: List[Optional[Tuple[int, np.ndarray]]] = []
+            return (out, np.zeros((0, 4), np.int64)) if with_stats else out
+        pool_map: Dict[bytes, int] = {}
+        for q, t in pairs:
+            for sq in (q, t):
+                if sq not in pool_map:
+                    pool_map[sq] = len(pool_map)
+        pool_seqs = list(pool_map)
+        qidx = np.fromiter(
+            (pool_map[q] for q, _ in pairs), dtype=np.int64, count=n
+        )
+        tidx = np.fromiter(
+            (pool_map[t] for _, t in pairs), dtype=np.int64, count=n
+        )
+        return self.align_pairs_indexed(
+            pool_seqs,
+            qidx,
+            tidx,
+            with_stats=with_stats,
+            sigma_hint=sigma_hint,
+            as_runs=as_runs,
+        )
+
+    def align_pairs_indexed(
+        self,
+        pool_seqs,
+        qidx: np.ndarray,
+        tidx: np.ndarray,
+        with_stats: bool = False,
+        sigma_hint=None,
+        as_runs: bool = False,
+    ):
+        """align_pairs in pooled-index form (see
+        DenseBandAligner.align_pairs_indexed)."""
+        n = len(qidx)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
         stats = np.zeros((n, 4), dtype=np.int64)
-        short_idx = [
-            i
-            for i, (q, t) in enumerate(pairs)
-            if max(len(q), len(t)) <= self.dense_max_len
-        ]
-        long_idx = [
-            i
-            for i in range(n)
-            if max(len(pairs[i][0]), len(pairs[i][1])) > self.dense_max_len
-        ]
-        if short_idx:
-            # group by padded length to keep scan lengths tight
+        if n == 0:
+            return (results, stats) if with_stats else results
+        pool_lens = np.fromiter(
+            (len(b) for b in pool_seqs), dtype=np.int64, count=len(pool_seqs)
+        )
+        max_lens = np.maximum(pool_lens[qidx], pool_lens[tidx])
+        sigma_arr = (
+            np.asarray(sigma_hint, dtype=np.int64)
+            if sigma_hint is not None
+            else None
+        )
+        short_mask = max_lens <= self.dense_max_len
+        long_idx = np.flatnonzero(~short_mask).tolist()
+        short_idx = np.flatnonzero(short_mask)
+        if short_idx.size:
+            # group by padded length (vectorized pow2 bucketing) to keep
+            # scan lengths tight
+            ml = np.maximum(max_lens[short_idx], 4)
+            pads = 1 << np.frexp((ml - 1).astype(np.float64))[1]
             by_pad: Dict[int, List[int]] = {}
-            for i in short_idx:
-                q, t = pairs[i]
-                pad = DenseBandAligner._next_pow2(max(len(q), len(t), 4))
-                by_pad.setdefault(pad, []).append(i)
+            for pad in np.unique(pads).tolist():
+                by_pad[int(pad)] = short_idx[pads == pad].tolist()
             # coalesce tiny length-buckets into the next larger one: a
             # <256-pair bucket costs a full dispatch chain but only
             # ~2x the per-pair scan work when merged upward (the dense
@@ -428,25 +534,28 @@ class UnifiedAligner:
                     if larger:
                         by_pad[min(larger)].extend(by_pad.pop(pad))
             for pad, idxs in sorted(by_pad.items()):
-                sub = [pairs[i] for i in idxs]
-                hint = (
-                    [sigma_hint[i] for i in idxs]
-                    if sigma_hint is not None
-                    else None
-                )
-                out, st = self.dense.align_pairs(
-                    sub, with_stats=True, sigma_hint=hint
+                ia = np.asarray(idxs, dtype=np.int64)
+                hint = sigma_arr[ia] if sigma_arr is not None else None
+                out, st = self.dense.align_pairs_indexed(
+                    pool_seqs,
+                    qidx[ia],
+                    tidx[ia],
+                    with_stats=True,
+                    sigma_hint=hint,
+                    as_runs=as_runs,
                 )
                 for row, (i, r) in enumerate(zip(idxs, out)):
                     results[i] = r
-                    stats[i] = st[row]
+                stats[ia] = st
         if long_idx:
             from ..core.cigar import batch_cigar_stats
 
-            sub = [pairs[i] for i in long_idx]
+            sub = [
+                (pool_seqs[qidx[i]], pool_seqs[tidx[i]]) for i in long_idx
+            ]
             hint = (
-                [sigma_hint[i] for i in long_idx]
-                if sigma_hint is not None
+                [int(sigma_arr[i]) for i in long_idx]
+                if sigma_arr is not None
                 else None
             )
             out = self.segmented.align_pairs(sub, sigma_hint=hint)

@@ -139,9 +139,9 @@ def test_dense_align_packed_roundtrip():
             "xla",
         )
     )
-    meta = packed[:, :16].copy().view(np.int32).reshape(-1, 4)
-    ops = packed[:, 16 : 16 + run_cap]
-    lens = packed[:, 16 + run_cap :]
+    meta = packed[:, :32].copy().view(np.int32).reshape(-1, 8)
+    ops = packed[:, 32 : 32 + run_cap]
+    lens = packed[:, 32 + run_cap :]
 
     args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
     scores, cert, ops2, lens2, nruns2, ovf2 = (
@@ -154,6 +154,17 @@ def test_dense_align_packed_roundtrip():
     np.testing.assert_array_equal(meta[:, 3], ovf2.astype(np.int32))
     np.testing.assert_array_equal(ops, ops2)
     np.testing.assert_array_equal(lens, lens2)
+    # device-reduced PAF stat columns == host reductions over the runs
+    valid = np.arange(run_cap)[None, :] < nruns2[:, None]
+    l64 = lens2.astype(np.int64)
+    m = np.where((ops2 == ord("M")) & valid, l64, 0).sum(1)
+    x = np.where((ops2 == ord("X")) & valid, l64, 0).sum(1)
+    i = np.where((ops2 == ord("I")) & valid, l64, 0).sum(1)
+    d = np.where((ops2 == ord("D")) & valid, l64, 0).sum(1)
+    np.testing.assert_array_equal(meta[:, 4], m)
+    np.testing.assert_array_equal(meta[:, 5], m + x)
+    np.testing.assert_array_equal(meta[:, 6], m + x + d)
+    np.testing.assert_array_equal(meta[:, 7], m + x + i)
 
 
 def test_engine_pallas_impl_matches_xla_impl():
