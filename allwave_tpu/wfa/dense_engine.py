@@ -62,6 +62,38 @@ class DenseBandAligner:
         self.pen = pen
         self.config = config or DenseConfig()
         self.impl = self.config.impl or _auto_impl()
+        self._sharded_steps: Dict[Tuple[int, int, int, str], object] = {}
+        self._mesh = None
+
+    def _local_mesh(self):
+        """Lazy ("data",) mesh over ALL local devices — the production
+        intra-host fan-out (SURVEY §2.4: the reference saturates a host
+        with rayon, main.rs:130-133; here every local chip gets a pair
+        shard via shard_map with the sequence pool replicated)."""
+        if self._mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(diag=1)
+        return self._mesh
+
+    def _use_mesh(self) -> bool:
+        if os.environ.get("ALLWAVE_SINGLE_DEVICE") == "1":
+            return False
+        import jax
+
+        return jax.local_device_count() > 1
+
+    def _sharded_fn(self, k: int, run_cap: int, l_pad: int, impl: str):
+        key = (k, run_cap, l_pad, impl)
+        fn = self._sharded_steps.get(key)
+        if fn is None:
+            from ..parallel.mesh import sharded_dense_step
+
+            fn = sharded_dense_step(
+                self._local_mesh(), self.pen, k, l_pad, run_cap, impl
+            )
+            self._sharded_steps[key] = fn
+        return fn
 
     @staticmethod
     def _next_pow2(n: int) -> int:
@@ -362,6 +394,10 @@ class DenseBandAligner:
 
             if k > K_MAX_C2:  # band too wide for VMEM; rare escalations
                 impl = "xla"
+        if self._use_mesh():
+            # fan the pair shard over every local chip (pool replicated,
+            # indices sharded; zero cross-chip traffic in the hot loop)
+            return self._sharded_fn(k, run_cap, l_pad, impl)(*args)
         return D_.dense_align_packed(
             *args, self.pen, k, l_pad, run_cap, impl
         )

@@ -104,3 +104,51 @@ def test_distributed_aligner_single_process_covers_all(tmp_path):
     merge_paf_shards(prefix, 1, merged)
     lines = open(merged).read().strip().splitlines()
     assert len(lines) == 20
+
+
+def test_production_pipeline_uses_local_mesh_byte_identical(monkeypatch):
+    """VERDICT r1 item 2: with >1 local device the production pipeline
+    fans dispatch groups over a local ("data",) mesh via
+    sharded_dense_step; PAF output must be byte-identical to the
+    single-device path."""
+    import jax
+
+    from allwave_tpu.core.paf import alignment_to_paf
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.core.types import NoSparsification
+    from allwave_tpu.engine.pipeline import AllPairAligner
+    from allwave_tpu.testing.synth import MutationConfig, make_test_case
+
+    assert jax.local_device_count() >= 8  # conftest: 8 virtual devices
+    cfg = MutationConfig(snp_rate=0.05, insertion_rate=0.002, deletion_rate=0.002)
+    case = make_test_case(seed=77, n_sequences=7, length=150, cfg=cfg)
+    params = parse_scores("0,5,8,2,24,1")
+
+    def run():
+        al = AllPairAligner(
+            case.sequences,
+            params,
+            exclude_self=True,
+            use_mash_orientation=True,
+            sparsification=NoSparsification(),
+        )
+        out = []
+        al.for_each_with_callback(out.append)
+        return sorted(alignment_to_paf(r, case.sequences) for r in out)
+
+    from allwave_tpu.wfa import dense_engine as DE
+
+    calls = {"mesh": 0}
+    orig = DE.DenseBandAligner._sharded_fn
+
+    def counting(self, *a, **k):
+        calls["mesh"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DE.DenseBandAligner, "_sharded_fn", counting)
+    meshed = run()
+    assert calls["mesh"] > 0, "mesh path not exercised"
+
+    monkeypatch.setenv("ALLWAVE_SINGLE_DEVICE", "1")
+    single = run()
+    assert meshed == single
