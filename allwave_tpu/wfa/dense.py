@@ -298,6 +298,12 @@ def _pallas_compressed(k_width: int) -> bool:
     return P.uses_compressed_planes(k_width)
 
 
+def _pallas_transposed(k_width: int) -> bool:
+    from . import pallas_dense as P
+
+    return P.uses_transposed_planes(k_width)
+
+
 @functools.partial(
     jax.jit, static_argnames=("pen", "k_width", "l_pad", "run_cap", "impl")
 )
@@ -327,6 +333,7 @@ def dense_align(
         run_cap,
         k_width=k_width,
         compressed=(impl == "pallas" and _pallas_compressed(k_width)),
+        transposed=(impl == "pallas" and _pallas_transposed(k_width)),
     )
     return scores, cert, ops, lens, nruns, overflow
 
@@ -384,6 +391,7 @@ def dense_align_packed(
         run_cap,
         k_width=k_width,
         compressed=(impl == "pallas" and _pallas_compressed(k_width)),
+        transposed=(impl == "pallas" and _pallas_transposed(k_width)),
     )
     B = scores.shape[0]
     run_cap_n = ops.shape[1]
@@ -413,7 +421,8 @@ def dense_align_packed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pen", "run_cap", "k_width", "compressed")
+    jax.jit,
+    static_argnames=("pen", "run_cap", "k_width", "compressed", "transposed"),
 )
 def dense_traceback(
     choices_runs,  # (2*l_pad, B, Kp) uint16 merged plane (low byte: choice/ext bits, high: run length)
@@ -424,6 +433,7 @@ def dense_traceback(
     run_cap: int,
     k_width: int = 0,
     compressed: bool = False,
+    transposed: bool = False,
 ):
     """Walk the choice planes from (plen, tlen) back to (0, 0), emitting
     (op, len) runs in reverse order (host merges; same output contract as
@@ -438,9 +448,16 @@ def dense_traceback(
     kernel — row d holds only the parity-active lanes, at plane column
     (k - k0) >> 1 (every cell a valid traceback visits has k ≡ d mod 2,
     so the mapping is total); k_width is then the NOMINAL band width
-    (the plane is ceil(K/2) lanes wide, lane-rounded)."""
+    (the plane is ceil(K/2) lanes wide, lane-rounded).
+
+    transposed=True: the planes come from the transposed Pallas kernel,
+    shaped (2*l_pad, K, B) — same bytes, band axis before the pair
+    axis."""
     choices = choices_runs
-    D2, B, KP = choices.shape
+    if transposed:
+        D2, KP, B = choices.shape
+    else:
+        D2, B, KP = choices.shape
     K = k_width or KP
     k_end, k0, _ = _band_geometry(qlens, tlens, K)
     rows = jnp.arange(B, dtype=jnp.int32)
@@ -453,7 +470,10 @@ def dense_traceback(
         cp = (c >> 1) if compressed else c
         dd = jnp.clip(d - 1, 0, D2 - 1)
         cc = jnp.clip(cp, 0, KP - 1)
-        v = jnp.where(d_ok & c_ok, choices[dd, rows, cc], jnp.uint16(0))
+        src = (
+            choices[dd, cc, rows] if transposed else choices[dd, rows, cc]
+        )
+        v = jnp.where(d_ok & c_ok, src, jnp.uint16(0))
         byte = (v & 0xFF).astype(jnp.uint8)
         run = (v >> 8).astype(jnp.uint8)
         return byte, run

@@ -865,12 +865,426 @@ def _kernel_c2(
 #: uncompressed kernel is ~1.2x faster
 C2_MIN_K = 384
 
+#: band-width ceiling for the TRANSPOSED kernel (diagonals on the
+#: SUBLANE axis, pairs on the LANE axis). Measured on v5e: a lane-axis
+#: roll costs ~74 ns while a sublane-axis roll is ~free (~0.4 ns) and
+#: ALU ops ~1.4 ns — the old layout's 8 rolls/step dominated the whole
+#: kernel. VMEM: 5 bands x (K, 128) i32 = K x 2.5 KB per tile.
+T_MAX_K = 2048
+#: pairs per transposed tile (the full lane width)
+T_TB = 128
+
+
+def uses_transposed_planes(k_width: int) -> bool:
+    """True when dense_forward_pallas emits (d, K, B)-shaped choice
+    planes from the transposed kernel (callers pass transposed= to
+    dense_traceback accordingly)."""
+    return k_width <= T_MAX_K
+
 
 def uses_compressed_planes(k_width: int) -> bool:
     """True when dense_forward_pallas emits parity-compressed choice
     planes for this band width (callers pass compressed= to
     dense_traceback accordingly)."""
-    return k_width >= C2_MIN_K
+    return k_width >= C2_MIN_K and not uses_transposed_planes(k_width)
+
+
+def _tiles_for_t(k_width: int, l_pad: int):
+    """(d_chunk,) for the transposed kernel: plane blocks are
+    (d_chunk, K, T_TB) u16; lane dim = T_TB = 128 always satisfies the
+    Mosaic rule, sublane/leading dims are free, so the only constraint
+    is the streamed-block VMEM budget."""
+    d = PLANE_BYTES_MAX // (T_TB * k_width)
+    d = 1 << max(d.bit_length() - 1, 0)
+    d = max(8, min(256, d))
+    d = min(d, max(2 * l_pad, 8))
+    return d
+
+
+def run_dp_chunk_t(
+    qlens_ref,  # (1, TB)
+    tlens_ref,
+    k0_ref,
+    qheads_ref,  # (W, TB) stream window
+    ttails_ref,
+    choices_ref,  # (d_chunk, K, TB) u16 out block
+    s_ref,  # (K, TB) bands — diagonals on SUBLANES
+    i1_ref,
+    d1_ref,
+    i2_ref,
+    d2_ref,
+    qb_ref,  # (W + K, TB): rows [0:W] = reversed future heads, [W:] = band
+    tb_ref,  # (K + W, TB): rows [0:K] = band, [K:] = future tails
+    run_ref,
+    *,
+    pen: Penalties,
+    d_chunk: int,
+    with_choices: bool,
+    d_base,
+    stream_period: int,
+):
+    """Transposed twin of run_dp_chunk: identical arithmetic and
+    tie-breaks, with every k+-1 neighbour access a SUBLANE roll instead
+    of a lane roll (~0.4 ns vs ~74 ns measured on v5e)."""
+    K = s_ref.shape[0]
+    TB = s_ref.shape[1]
+    W = stream_period
+
+    kline = jax.lax.broadcasted_iota(jnp.int32, (K, TB), 0)
+    k0 = k0_ref[:1, :]  # (1, TB)
+    ks = k0 + kline
+    ks1 = ks & 1
+    q2 = 2 * qlens_ref[:1, :]
+    t2 = 2 * tlens_ref[:1, :]
+    inf = jnp.int32(INF)
+    row0 = kline == 0
+    rowK = kline == K - 1
+
+    @pl.when(jax.lax.rem(d_base, W) == 0)
+    def _refill():
+        qb_ref[:W, :] = qheads_ref[:]
+        tb_ref[K:, :] = ttails_ref[:]
+
+    o1e1 = jnp.int32(pen.o1 + pen.e1)
+    e1 = jnp.int32(pen.e1)
+    o2e2 = jnp.int32(pen.o2 + pen.e2) if pen.two_piece else jnp.int32(0)
+    e2 = jnp.int32(pen.e2) if pen.two_piece else jnp.int32(0)
+    x = jnp.int32(pen.x)
+
+    def step(j, _):
+        d = d_base + j + 1
+
+        qb_ext = pltpu.roll(qb_ref[:], shift=1, axis=0)
+        tb_ext = pltpu.roll(tb_ref[:], shift=tb_ref.shape[0] - 1, axis=0)
+        qb_ref[:] = qb_ext
+        tb_ref[:] = tb_ext
+        qb = qb_ext[W:, :]
+        tb = tb_ext[:K, :]
+
+        lo = jnp.maximum(d - q2, -d)
+        hi = jnp.minimum(t2 - d, d)
+        active = (ks1 == (d & 1)) & (ks >= lo) & (ks <= hi)
+
+        s_prev = s_ref[:]
+        s_km1 = jnp.where(row0, inf, pltpu.roll(s_prev, shift=1, axis=0))
+        s_kp1 = jnp.where(
+            rowK, inf, pltpu.roll(s_prev, shift=K - 1, axis=0)
+        )
+        i1_ext_v = (
+            jnp.where(row0, inf, pltpu.roll(i1_ref[:], shift=1, axis=0))
+            + e1
+        )
+        i1_opn_v = s_km1 + o1e1
+        i1_new = jnp.minimum(i1_opn_v, i1_ext_v)
+        i1_ext = i1_ext_v <= i1_opn_v  # tie -> extend
+        d1_ext_v = (
+            jnp.where(
+                rowK, inf, pltpu.roll(d1_ref[:], shift=K - 1, axis=0)
+            )
+            + e1
+        )
+        d1_opn_v = s_kp1 + o1e1
+        d1_new = jnp.minimum(d1_opn_v, d1_ext_v)
+        d1_ext = d1_ext_v <= d1_opn_v
+        best_gap = jnp.minimum(i1_new, d1_new)
+        if pen.two_piece:
+            i2_ext_v = (
+                jnp.where(
+                    row0, inf, pltpu.roll(i2_ref[:], shift=1, axis=0)
+                )
+                + e2
+            )
+            i2_opn_v = s_km1 + o2e2
+            i2_new = jnp.minimum(i2_opn_v, i2_ext_v)
+            i2_ext = i2_ext_v <= i2_opn_v
+            d2_ext_v = (
+                jnp.where(
+                    rowK,
+                    inf,
+                    pltpu.roll(d2_ref[:], shift=K - 1, axis=0),
+                )
+                + e2
+            )
+            d2_opn_v = s_kp1 + o2e2
+            d2_new = jnp.minimum(d2_opn_v, d2_ext_v)
+            d2_ext = d2_ext_v <= d2_opn_v
+            best_gap = jnp.minimum(best_gap, jnp.minimum(i2_new, d2_new))
+        else:
+            i2_new, d2_new = i2_ref[:], d2_ref[:]
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+
+        is_match = qb == tb
+        sub_cost = jnp.where(is_match, 0, x)
+        diag_ok = (ks <= d - 2) & (ks >= 2 - d)
+        diag = jnp.where(diag_ok, s_prev + sub_cost, inf)
+        s_new = jnp.minimum(diag, best_gap)
+
+        if with_choices:
+            diag_hit = (diag == s_new) & diag_ok
+            choice = jnp.full((K, TB), S_DIAG_MATCH, jnp.int32)
+            if pen.two_piece:
+                choice = jnp.where(d2_new == s_new, jnp.int32(S_D2), choice)
+            choice = jnp.where(d1_new == s_new, jnp.int32(S_D1), choice)
+            if pen.two_piece:
+                choice = jnp.where(i2_new == s_new, jnp.int32(S_I2), choice)
+            choice = jnp.where(i1_new == s_new, jnp.int32(S_I1), choice)
+            choice = jnp.where(
+                diag_hit & jnp.logical_not(is_match),
+                jnp.int32(S_DIAG_MISMATCH),
+                choice,
+            )
+            packed = (
+                choice
+                | (i1_ext.astype(jnp.int32) << 3)
+                | (d1_ext.astype(jnp.int32) << 4)
+                | (i2_ext.astype(jnp.int32) << 5)
+                | (d2_ext.astype(jnp.int32) << 6)
+            )
+            runlen = run_ref[:]
+            is_run = choice == jnp.int32(S_DIAG_MATCH)
+            inc = jnp.minimum(runlen, 254) + 1
+            new_run = jnp.where(is_run, inc, 0)
+            choices_ref[j] = (packed | (new_run << 8)).astype(jnp.uint16)
+            run_ref[:] = jnp.where(active, new_run, runlen)
+
+        s_ref[:] = jnp.where(active, s_new, s_prev)
+        i1_ref[:] = jnp.where(active, i1_new, i1_ref[:])
+        d1_ref[:] = jnp.where(active, d1_new, d1_ref[:])
+        if pen.two_piece:
+            i2_ref[:] = jnp.where(active, i2_new, i2_ref[:])
+            d2_ref[:] = jnp.where(active, d2_new, d2_ref[:])
+        return 0
+
+    def _step2(jj, _):
+        step(2 * jj, 0)
+        step(2 * jj + 1, 0)
+        return 0
+
+    jax.lax.fori_loop(0, d_chunk // 2, _step2, 0)
+
+    s_ref[:] = jnp.minimum(s_ref[:], inf)
+    i1_ref[:] = jnp.minimum(i1_ref[:], inf)
+    d1_ref[:] = jnp.minimum(d1_ref[:], inf)
+    if pen.two_piece:
+        i2_ref[:] = jnp.minimum(i2_ref[:], inf)
+        d2_ref[:] = jnp.minimum(d2_ref[:], inf)
+
+
+def _kernel_t(
+    qlens_ref,
+    tlens_ref,
+    k0_ref,
+    qb0_ref,
+    tb0_ref,
+    qheads_ref,
+    ttails_ref,
+    sout_ref,
+    choices_ref,
+    s_ref,
+    i1_ref,
+    d1_ref,
+    i2_ref,
+    d2_ref,
+    qb_ref,
+    tb_ref,
+    run_ref,
+    *,
+    pen: Penalties,
+    d_chunk: int,
+    with_choices: bool,
+    stream_period: int,
+):
+    K = s_ref.shape[0]
+    TB = s_ref.shape[1]
+    W = stream_period
+    dch = pl.program_id(1)
+
+    kline = jax.lax.broadcasted_iota(jnp.int32, (K, TB), 0)
+    k0 = k0_ref[:1, :]
+    ks = k0 + kline
+    inf = jnp.int32(INF)
+
+    @pl.when(dch == 0)
+    def _init():
+        s_ref[:] = jnp.where(ks == 0, 0, inf)
+        i1_ref[:] = jnp.full((K, TB), inf, jnp.int32)
+        d1_ref[:] = jnp.full((K, TB), inf, jnp.int32)
+        i2_ref[:] = jnp.full((K, TB), inf, jnp.int32)
+        d2_ref[:] = jnp.full((K, TB), inf, jnp.int32)
+        qb_ref[W:, :] = qb0_ref[:]
+        tb_ref[:K, :] = tb0_ref[:]
+        run_ref[:] = jnp.zeros((K, TB), jnp.int32)
+
+    run_dp_chunk_t(
+        qlens_ref,
+        tlens_ref,
+        k0_ref,
+        qheads_ref,
+        ttails_ref,
+        choices_ref,
+        s_ref,
+        i1_ref,
+        d1_ref,
+        i2_ref,
+        d2_ref,
+        qb_ref,
+        tb_ref,
+        run_ref,
+        pen=pen,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        d_base=dch * d_chunk,
+        stream_period=stream_period,
+    )
+    sout_ref[:] = s_ref[:]
+
+
+def _forward_t(
+    qs: jnp.ndarray,
+    ts: jnp.ndarray,
+    qlens: jnp.ndarray,
+    tlens: jnp.ndarray,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    with_choices: bool = False,
+    interpret: bool = False,
+):
+    """Transposed-kernel forward (same returns as dense.dense_forward;
+    choice planes come back (2*l_pad_eff, B, K) — the internal (d, K,
+    TB) blocks are transposed once in the XLA epilog... no: planes are
+    returned (D2, K, B) and dense_traceback addresses them with
+    transposed=True (no materialized transpose of the big planes)."""
+    B0 = qs.shape[0]
+    K = k_width
+    if K % LANES:
+        raise ValueError(f"k_width must be a multiple of {LANES}, got {K}")
+    if K > T_MAX_K:
+        raise ValueError(f"k_width {K} > {T_MAX_K}: use the wide-band kernels")
+    tb = T_TB
+    d_chunk = _tiles_for_t(K, max(l_pad, 4))
+    period = d_chunk
+    l_pad_eff = max(l_pad, d_chunk // 2)
+    if l_pad_eff != l_pad:
+        padc = jnp.zeros((B0, l_pad_eff - l_pad), jnp.uint8)
+        qs = jnp.concatenate([qs, padc], 1)
+        ts = jnp.concatenate([ts, padc], 1)
+    B = ((B0 + tb - 1) // tb) * tb
+    if B != B0:
+        padq = jnp.zeros((B - B0, l_pad_eff), jnp.uint8)
+        qs = jnp.concatenate([qs, padq], 0)
+        ts = jnp.concatenate([ts, padq], 0)
+        padl = jnp.zeros((B - B0,), jnp.int32)
+        qlens = jnp.concatenate([qlens, padl], 0)
+        tlens = jnp.concatenate([tlens, padl], 0)
+
+    D2 = 2 * l_pad_eff
+    nd = D2 // d_chunk
+    nb = B // tb
+
+    qb0, tb0, q_heads_rev, t_tails, k0, k_end, slack = _precompute_streams(
+        qs, ts, qlens, tlens, K, l_pad_eff, period
+    )
+    # transpose the per-pair axes once (K x B / D2 x B) — cheap XLA
+    # transposes outside the hot loop
+    qb0_t = qb0.T
+    tb0_t = tb0.T
+    qheads_t = q_heads_rev.T  # (D2, B)
+    ttails_t = t_tails.T
+
+    meta_spec = pl.BlockSpec(
+        (1, tb), lambda b, d: (0, b), memory_space=pltpu.VMEM
+    )
+    band_spec = pl.BlockSpec(
+        (K, tb), lambda b, d: (0, b), memory_space=pltpu.VMEM
+    )
+    stream_spec = pl.BlockSpec(
+        (period, tb),
+        lambda b, d: ((d * d_chunk) // period, b),
+        memory_space=pltpu.VMEM,
+    )
+
+    out_shapes = [jax.ShapeDtypeStruct((K, B), jnp.int32)]
+    out_specs = [band_spec]
+    if with_choices:
+        plane_spec = pl.BlockSpec(
+            (d_chunk, K, tb),
+            lambda b, d: (d, 0, b),
+            memory_space=pltpu.VMEM,
+        )
+        out_shapes += [jax.ShapeDtypeStruct((D2, K, B), jnp.uint16)]
+        out_specs += [plane_spec]
+    else:
+        dummy_spec = pl.BlockSpec(
+            (1, K, tb), lambda b, d: (0, 0, b), memory_space=pltpu.VMEM
+        )
+        out_shapes += [jax.ShapeDtypeStruct((1, K, B), jnp.uint16)]
+        out_specs += [dummy_spec]
+
+    kernel = functools.partial(
+        _kernel_t,
+        pen=pen,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        stream_period=period,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nd),
+        in_specs=[
+            meta_spec,
+            meta_spec,
+            meta_spec,
+            band_spec,
+            band_spec,
+            stream_spec,
+            stream_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((K, tb), jnp.int32),  # S
+            pltpu.VMEM((K, tb), jnp.int32),  # I1
+            pltpu.VMEM((K, tb), jnp.int32),  # D1
+            pltpu.VMEM((K, tb), jnp.int32),  # I2
+            pltpu.VMEM((K, tb), jnp.int32),  # D2
+            pltpu.VMEM((period + K, tb), jnp.int32),  # qb ext register
+            pltpu.VMEM((K + period, tb), jnp.int32),  # tb ext register
+            pltpu.VMEM((K, tb), jnp.int32),  # runlen
+        ],
+        interpret=interpret,
+    )(
+        qlens[None, :].astype(jnp.int32),
+        tlens[None, :].astype(jnp.int32),
+        k0[None, :].astype(jnp.int32),
+        qb0_t,
+        tb0_t,
+        qheads_t,
+        ttails_t,
+    )
+    s_final = outs[0]  # (K, B)
+
+    c_end = jnp.clip(k_end - k0, 0, K - 1)
+    scores = jnp.take_along_axis(s_final, c_end[None, :], axis=0)[0, :]
+    feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= D2)
+    scores = jnp.where(feasible, scores, INF)
+    scores = jnp.minimum(scores, INF)
+
+    w = jnp.maximum(slack, 0)
+    n = w + 1
+    esc = 2 * jnp.minimum(
+        pen.o1 + n * pen.e1,
+        (pen.o2 + n * pen.e2) if pen.two_piece else pen.o1 + n * pen.e1,
+    )
+    full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
+    certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
+
+    scores = scores[:B0]
+    certificate = certificate[:B0]
+    if with_choices:
+        return scores, certificate, outs[1][:, :, :B0]
+    return scores, certificate, None
 
 
 @functools.partial(
@@ -890,10 +1304,16 @@ def dense_forward_pallas(
 ):
     """Drop-in replacement for dense.dense_forward (same returns).
 
-    Statically routes by band width: K < C2_MIN_K runs the classic
-    full-width kernel (choices planes (2*l_pad_eff, B, K)); wider bands
-    run the parity-COMPRESSED kernel whose planes are (.., B, ~K/2) —
-    see uses_compressed_planes() and dense_traceback(compressed=...)."""
+    Statically routes by band width: K <= T_MAX_K runs the TRANSPOSED
+    kernel (diagonals on sublanes — sublane rolls are ~free on v5e;
+    planes (2*l_pad_eff, K, B), see uses_transposed_planes() and
+    dense_traceback(transposed=...)); wider bands run the
+    parity-COMPRESSED kernel whose planes are (.., B, ~K/2) — see
+    uses_compressed_planes() and dense_traceback(compressed=...)."""
+    if uses_transposed_planes(k_width):
+        return _forward_t(
+            qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret
+        )
     if uses_compressed_planes(k_width):
         return _forward_c2(
             qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret

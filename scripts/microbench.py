@@ -62,7 +62,10 @@ def bench_forward():
                 P.dense_forward_pallas(*args, pen, K, l_pad, False)[0]
             )
         )
-        path = "c2" if P.uses_compressed_planes(K) else "full"
+        path = (
+            "t" if P.uses_transposed_planes(K)
+            else "c2" if P.uses_compressed_planes(K) else "full"
+        )
         print(f"forward  K={K:4d} ({path}): {dt*1000:6.1f} ms  {B/dt:7.0f} pairs/s")
 
 
@@ -99,10 +102,12 @@ def bench_traceback():
     s, c, ch = P.dense_forward_pallas(*args, pen, K, l_pad, True)
     s = jnp.asarray(np.asarray(s))
     comp = P.uses_compressed_planes(K)
+    tr = P.uses_transposed_planes(K)
     dt = _best(
         lambda: np.asarray(
             D.dense_traceback(
-                ch, s, args[2], args[3], pen, 256, k_width=K, compressed=comp
+                ch, s, args[2], args[3], pen, 256, k_width=K,
+                compressed=comp, transposed=tr,
             )[2]
         )
     )

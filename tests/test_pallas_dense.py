@@ -67,6 +67,7 @@ def test_pallas_forward_matches_xla(scores_str):
         run_cap,
         k_width=K,
         compressed=P_.uses_compressed_planes(K),
+        transposed=P_.uses_transposed_planes(K),
     )
     for xa, xp in zip(ta, tp):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
@@ -74,17 +75,17 @@ def test_pallas_forward_matches_xla(scores_str):
 
 @pytest.mark.parametrize("K,l_pad,div", [(384, 256, 0.15), (512, 128, 0.2)])
 def test_pallas_compressed_matches_xla(K, l_pad, div):
-    """K >= C2_MIN_K routes to the parity-compressed kernel — planes are
+    """The parity-compressed kernel (used for K > T_MAX_K in
+    production; exercised here directly at small shapes) — planes are
     ~K/2 wide, traceback uses compressed addressing; results must stay
     bit-identical to the XLA engine (covers the KC padding case K=384
     -> KC=256 and the band-wider-than-matrix case K=512, l_pad=128)."""
-    assert P_.uses_compressed_planes(K)
     pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
     rng = np.random.RandomState(17)
     qs, ts, qlens, tlens = _random_batch(rng, 5, (l_pad * 3) // 4, l_pad, div)
     args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
     sa, ca, cha = D_.dense_forward(*args, pen, K, l_pad, True)
-    sp, cp, chp = P_.dense_forward_pallas(
+    sp, cp, chp = P_._forward_c2(
         *args, pen, K, l_pad, True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sp))
