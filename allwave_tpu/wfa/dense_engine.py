@@ -331,6 +331,44 @@ class DenseBandAligner:
             ):
                 rounds.setdefault(key, []).append(i)
 
+        # tiny rounds (escalations, hint-stragglers) run on the native
+        # C++ oracle instead of the device: a fresh (K, B) kernel shape
+        # costs 10-70 s of server-side compile over the driver tunnel,
+        # while <100 pairs take ~30 ms on the host — and the oracle is
+        # cross-checked bit-exact against the device engines
+        # (tests/test_wfa_oracle.py, tests/test_fuzz_cross_engine.py)
+        native_max = int(os.environ.get("ALLWAVE_NATIVE_ESC", "96"))
+        initial_keys = frozenset(rounds)  # escalations = keys added later
+
+        def _native_round(idxs) -> bool:
+            from .. import native as N
+            from ..core.cigar import run_length_encode
+
+            if not N.available():
+                return False
+            qlens_all, tlens_all = self._lens
+            for i in idxs:
+                if qlens_all[i] + tlens_all[i] > 1 << 15:
+                    return False
+            for i in idxs:
+                q = pool_seqs[qidx[i]]
+                t = pool_seqs[tidx[i]]
+                out = N.wfa_align_native(q, t, self.pen)
+                if out is None:
+                    return False
+                score, cigar = out
+                m = int(np.count_nonzero(cigar == ord("M")))
+                x_ = int(np.count_nonzero(cigar == ord("X")))
+                i_ = int(np.count_nonzero(cigar == ord("I")))
+                d_ = int(np.count_nonzero(cigar == ord("D")))
+                if getattr(self, "_as_runs", False):
+                    ops_r, lens_r = run_length_encode(cigar)
+                    results[i] = (score, (ops_r, lens_r))
+                else:
+                    results[i] = (score, cigar)
+                stats[i] = (m, m + x_, m + x_ + d_, m + x_ + i_)
+            return True
+
         while rounds or inflight:
             if not rounds:
                 _drain_one()
@@ -339,6 +377,12 @@ class DenseBandAligner:
             idxs = rounds.pop((k, cap))
             if k > self.config.k_max:
                 continue  # overflow: left as None (failed pair contract)
+            if (
+                (k, cap) not in initial_keys
+                and 0 < len(idxs) <= native_max
+                and _native_round(idxs)
+            ):
+                continue
             per_pair = 2 * (2 * max(l_pad, 128) * k)  # choices+runlen planes
             bsz = int(
                 max(
