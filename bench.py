@@ -15,9 +15,16 @@ stand-in for allwave's per-core CPU speed (same algorithm family, same
 exactness; allwave scales roughly linearly with -t threads on top).
 vs_baseline = device alignments/s / (C++ single-core alignments/s).
 
+Besides the headline metric, `extra.configs` reports a scaled-down run
+of each of BASELINE.json's five configs (small edit-distance / 5 kb
+affine / giant-sparsified / tree-sparsified mixed lengths / 100 kb
+haplotypes) so every regime is tracked per round, not just 128 x 1 kb.
+
 Env knobs:
   BENCH_N_SEQS (default 128), BENCH_LEN (default 1000),
-  BENCH_DIVERGENCE (default 0.02), ALLWAVE_PLATFORM (force backend).
+  BENCH_DIVERGENCE (default 0.02), ALLWAVE_PLATFORM (force backend),
+  BENCH_CONFIGS=0 to skip the 5-config matrix,
+  BENCH_BUDGET_S (default 900): stop starting new configs past this.
 """
 
 import json
@@ -26,6 +33,111 @@ import sys
 import time
 
 import numpy as np
+
+
+def _merge_cases(cases):
+    """Concatenate sequences of several synthetic cases with re-keyed ids."""
+    from allwave_tpu.core.types import Sequence
+
+    out = []
+    for ci, case in enumerate(cases):
+        for s in case.sequences:
+            out.append(Sequence(f"c{ci}_{s.id}", s.seq))
+    return out
+
+
+def _run_config(name, seqs, scores_str, sparsification, budget_left):
+    """One scaled BASELINE.json config, end-to-end through the pipeline.
+    Returns a result dict (or a skipped marker if over budget)."""
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.engine.pipeline import AllPairAligner
+
+    if budget_left <= 0:
+        return {"config": name, "skipped": "bench budget exhausted"}
+
+    def run_once():
+        al = AllPairAligner(
+            seqs,
+            parse_scores(scores_str),
+            exclude_self=True,
+            use_mash_orientation=True,
+            sparsification=sparsification,
+        )
+        out = []
+        al.for_each_with_callback(out.append)
+        return out
+
+    t0 = time.time()
+    warm = run_once()  # absorbs jit compile for this config's shapes
+    warm_s = time.time() - t0
+    t0 = time.time()
+    out = run_once()
+    dt = time.time() - t0
+    return {
+        "config": name,
+        "pairs": len(out),
+        "aln_per_sec": round(len(out) / dt, 1),
+        "wall_s": round(dt, 2),
+        "first_run_incl_compile_s": round(warm_s, 2),
+    }
+
+
+def run_config_matrix(budget_s: float):
+    """Scaled-down versions of BASELINE.json configs 1-5 (BASELINE.md)."""
+    from allwave_tpu.core.types import NoSparsification, TreeSampling
+    from allwave_tpu.core.types import ConnectivitySparsification
+    from allwave_tpu.testing.synth import MutationConfig, make_test_case
+
+    t_start = time.time()
+    left = lambda: budget_s - (time.time() - t_start)
+    cfg2 = MutationConfig(snp_rate=0.02, insertion_rate=0.0005, deletion_rate=0.0005)
+    results = []
+    # 1: small edit-distance, -p none (BASELINE config 1)
+    c1 = make_test_case(seed=11, n_sequences=20, length=300, cfg=cfg2)
+    results.append(
+        _run_config("1_small_edit", c1.sequences, "0,1,1,1", NoSparsification(), left())
+    )
+    # 2: ~5 kb single-affine, -p none
+    c2 = make_test_case(seed=12, n_sequences=48, length=5000, cfg=cfg2)
+    results.append(
+        _run_config("2_5kb_affine", c2.sequences, "0,5,8,2", NoSparsification(), left())
+    )
+    # 3: giant-component sparsification, default two-piece scores
+    c3 = make_test_case(seed=13, n_sequences=256, length=2000, cfg=cfg2)
+    results.append(
+        _run_config(
+            "3_giant099",
+            c3.sequences,
+            "0,5,8,2,24,1",
+            ConnectivitySparsification(0.99),
+            left(),
+        )
+    )
+    # 4: tree sparsification over mixed lengths
+    mixed = _merge_cases(
+        [
+            make_test_case(seed=14, n_sequences=86, length=800, cfg=cfg2),
+            make_test_case(seed=15, n_sequences=85, length=1800, cfg=cfg2),
+            make_test_case(seed=16, n_sequences=85, length=3000, cfg=cfg2),
+        ]
+    )
+    results.append(
+        _run_config(
+            "4_tree_mixed",
+            mixed,
+            "0,5,8,2,24,1",
+            TreeSampling(k_nearest=2, k_farthest=1, random_fraction=0.02),
+            left(),
+        )
+    )
+    # 5: 100 kb haplotypes (segmented engine), -p none
+    c5 = make_test_case(seed=17, n_sequences=4, length=100_000, cfg=cfg2)
+    results.append(
+        _run_config(
+            "5_100kb", c5.sequences, "0,5,8,2,24,1", NoSparsification(), left()
+        )
+    )
+    return results
 
 
 def main():
@@ -114,6 +226,21 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
+
+    extra = {
+        "wavefront_cells_per_sec": round(cells_per_sec),
+        "cpu_single_core_alignments_per_sec": round(cpu_rate, 2),
+        "pairs": len(pairs),
+        "wall_s": round(dt, 2),
+        "first_run_incl_compile_s": round(compile_and_first_run_s, 2),
+    }
+    if os.environ.get("BENCH_CONFIGS", "1") != "0":
+        budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+        try:
+            extra["configs"] = run_config_matrix(budget)
+        except Exception as e:  # the headline metric must still print
+            extra["configs"] = [{"error": f"{type(e).__name__}: {e}"}]
+
     print(
         json.dumps(
             {
@@ -121,13 +248,7 @@ def main():
                 "value": round(device_rate, 2),
                 "unit": "alignments/s",
                 "vs_baseline": round(device_rate / cpu_rate, 3),
-                "extra": {
-                    "wavefront_cells_per_sec": round(cells_per_sec),
-                    "cpu_single_core_alignments_per_sec": round(cpu_rate, 2),
-                    "pairs": len(pairs),
-                    "wall_s": round(dt, 2),
-                    "first_run_incl_compile_s": round(compile_and_first_run_s, 2),
-                },
+                "extra": extra,
             }
         )
     )
