@@ -527,11 +527,13 @@ class UnifiedAligner:
         segmented_config=None,
     ):
         from .segmented import SegmentedDenseAligner
+        from .wf_segmented import WavefrontSegmentedAligner
 
         self.pen = pen
         self.dense_max_len = dense_max_len
         self.dense = DenseBandAligner(pen, dense_config)
         self.segmented = SegmentedDenseAligner(pen, segmented_config)
+        self.wf_segmented = WavefrontSegmentedAligner(pen)
         self.wavefront = BatchWavefrontAligner(pen, wavefront_config)
 
     def align_pairs(
@@ -638,7 +640,30 @@ class UnifiedAligner:
                 if sigma_arr is not None
                 else None
             )
-            out = self.segmented.align_pairs(sub, sigma_hint=hint)
+            # long pairs run the O(s*K) wavefront checkpoint-replay
+            # engine first (s << L for pangenome haplotypes: ~12x faster
+            # at 100 kb, bit-exact); high-divergence pairs that blow its
+            # score cap fall back to the O(L*K) dense segmented engine
+            from .wf_segmented import WavefrontSegmentedAligner as _W
+
+            if os.environ.get("ALLWAVE_NO_WFSEG") == "1":
+                out = self.segmented.align_pairs(sub, sigma_hint=hint)
+            else:
+                out = self.wf_segmented.align_pairs(sub, sigma_hint=hint)
+                fb = [
+                    j
+                    for j, r in enumerate(out)
+                    if r is None or r is _W.DENSE_FALLBACK
+                ]
+                if fb:
+                    dense_out = self.segmented.align_pairs(
+                        [sub[j] for j in fb],
+                        sigma_hint=(
+                            [hint[j] for j in fb] if hint is not None else None
+                        ),
+                    )
+                    for j, r in zip(fb, dense_out):
+                        out[j] = r
             st = batch_cigar_stats(
                 [r[1] if r is not None else np.zeros(0, np.uint8) for r in out]
             )

@@ -1,0 +1,621 @@
+"""Score-axis checkpoint–replay WAVEFRONT alignment for long pairs.
+
+The segmented DENSE engine (segmented.py) sweeps all 2L anti-diagonals
+of the band regardless of how similar the pair is — O(L*K) cells. For
+long, low-divergence pairs (the pangenome norm: 100 kb haplotypes at
+<1% divergence) the wavefront DP does O(s*K) work instead, where s is
+the alignment score (s << L): a 100 kb pair at score ~1500 costs ~400x
+fewer cell updates. This module gives the wavefront engine (batch.py)
+the same O(score/C) memory trick segmented.py gives the dense engine:
+
+1. SWEEP: score-only wavefront DP in C-score segments, snapshotting the
+   rolling D-plane buffer (D = max penalty lookback + 1) at each segment
+   boundary — no O(s*K) history planes;
+2. REPLAY backwards: per segment, re-run the C score levels from the
+   checkpoint with full history for just that span, and advance the
+   on-device traceback walkers through it (walkers pause at the segment
+   floor and resume in the next-earlier segment).
+
+Arithmetic, extension, and tie-breaks are ``batch.py``'s exactly (same
+`_wavefront_step`), and the traceback is a segment-windowed twin of
+``wavefront_traceback`` — so scores AND CIGARs are bit-identical to the
+one-shot wavefront engine, which is itself fuzz-checked against the
+oracle and the dense engines (tests/test_fuzz_cross_engine.py).
+
+This replaces the role of biWFA (MemoryMode::Ultralow) in the
+reference (/root/reference/src/alignment.rs:265-287): same O(s)-memory
+goal, but met by checkpoint–replay instead of a forward/reverse meet —
+a true biWFA breakpoint split can return ANY co-optimal alignment,
+which would break this framework's bit-exact cross-engine contract.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Penalties
+from .batch import (
+    NULL,
+    _OP_M,
+    _OP_X,
+    _OP_I,
+    _OP_D,
+    _band_geometry,
+    _extend,
+    _make_masks,
+    _wavefront_step,
+    expand_runs_to_cigar,
+    pack_quads,
+)
+
+_C_M, _C_I1, _C_D1, _C_I2, _C_D2 = 0, 1, 2, 3, 4
+_COMPS = ("m", "i1", "d1", "i2", "d2")
+
+
+# ---------------------------------------------------------------------------
+# jitted pieces
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("pen", "k_width"))
+def wf_init(qs, ts, qlens, tlens, pen: Penalties, k_width: int):
+    """Score-0 state: q4/t4 packs, band geometry, the rolling buffer with
+    M[0] extended, and done/scores after score 0."""
+    B = qs.shape[0]
+    K = k_width
+    D = pen.max_lookback + 1
+    q4 = pack_quads(qs)
+    t4 = pack_quads(ts)
+    k_end, k0 = _band_geometry(qlens, tlens, K)
+    ks, h_max = _make_masks(qlens, tlens, k0, K)
+    c_end = jnp.clip(k_end - k0, 0, K - 1).astype(jnp.int32)
+    feasible = jnp.abs(k_end) <= (K - 1)
+
+    buf = {c: jnp.full((D, B, K), NULL, dtype=jnp.int32) for c in _COMPS}
+    c_zero = (-k0).astype(jnp.int32)
+    m0 = jnp.where(
+        jnp.arange(K, dtype=jnp.int32)[None, :] == c_zero[:, None], 0, NULL
+    ).astype(jnp.int32)
+    m0 = _extend(m0, ks, h_max, q4, t4)
+    m0 = jnp.where(m0 > h_max, NULL, m0)
+    buf["m"] = buf["m"].at[0].set(m0)
+
+    at_end0 = jnp.take_along_axis(m0, c_end[:, None], axis=1)[:, 0]
+    done0 = (at_end0 == tlens) & feasible
+    scores0 = jnp.where(done0, 0, -1).astype(jnp.int32)
+    return q4, t4, ks, h_max, c_end, feasible, buf, done0, scores0
+
+
+@functools.partial(jax.jit, static_argnames=("pen", "n_steps", "with_history"))
+def wf_span(
+    q4,
+    t4,
+    ks,
+    h_max,
+    c_end,
+    tlens,
+    feasible,
+    s_lo,  # traced scalar: span covers scores s_lo+1 .. s_lo+n_steps
+    buf,
+    done,
+    scores,
+    pen: Penalties,
+    n_steps: int,
+    with_history: bool,
+):
+    """Advance the rolling buffer n_steps score levels. Returns
+    (buf, done, scores, hist|None); hist planes are (n_steps, B, K) per
+    component, row j holding score s_lo + j + 1."""
+    D = buf["m"].shape[0]
+
+    def step(carry, j):
+        buf, done, scores = carry
+        s = s_lo + j + 1
+        m, i1, d1, i2, d2 = _wavefront_step(pen, s, buf, ks, h_max, q4, t4)
+        slot = jnp.mod(s, D)
+        buf = {
+            "m": buf["m"].at[slot].set(m),
+            "i1": buf["i1"].at[slot].set(i1),
+            "d1": buf["d1"].at[slot].set(d1),
+            "i2": buf["i2"].at[slot].set(i2),
+            "d2": buf["d2"].at[slot].set(d2),
+        }
+        at_end = jnp.take_along_axis(m, c_end[:, None], axis=1)[:, 0]
+        done_now = (at_end == tlens) & feasible & jnp.logical_not(done)
+        scores = jnp.where(done_now, s, scores)
+        done = done | done_now
+        ys = (m, i1, d1, i2, d2) if with_history else 0
+        return (buf, done, scores), ys
+
+    (buf, done, scores), ys = jax.lax.scan(
+        step,
+        (buf, done, scores),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    hist = (
+        dict(zip(_COMPS, ys)) if with_history else None
+    )
+    return buf, done, scores, hist
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pen", "n_steps", "run_cap")
+)
+def wf_replay_traceback(
+    q4,
+    t4,
+    ks,
+    h_max,
+    tlens,
+    buf_ckpt,  # rolling buffer at score s_lo (scores s_lo-D+1 .. s_lo)
+    s_lo,  # traced scalar: segment floor (replay covers s_lo+1..s_lo+n_steps)
+    walk,  # (s, c, h, comp, active) each (B,)
+    bufs,  # (ops (B,run_cap) u8, lens (B,run_cap) i32, nrun (B,) i32, overflow (B,) bool)
+    pen: Penalties,
+    n_steps: int,
+    run_cap: int,
+):
+    """Replay one score segment from its checkpoint and advance the
+    traceback walkers through it.
+
+    The traceback window covers absolute scores
+    [s_lo - D + 1, s_lo + n_steps]: the checkpoint's own D planes plus
+    the replayed n_steps planes. Transition rules are identical to
+    batch.wavefront_traceback; walkers whose score falls to <= s_lo
+    pause (the next-earlier segment resumes them), except at score 0
+    where the origin emit happens."""
+    D = buf_ckpt["m"].shape[0]
+    B, K = ks.shape
+    C = n_steps
+    W = D + C
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    # replay (cheap relative to sweep: one segment)
+    dummy_done = jnp.zeros((B,), jnp.bool_)
+    dummy_scores = jnp.full((B,), -1, jnp.int32)
+    c_end_dummy = jnp.zeros((B,), jnp.int32)
+    feas_dummy = jnp.zeros((B,), jnp.bool_)
+    _, _, _, hist = wf_span(
+        q4,
+        t4,
+        ks,
+        h_max,
+        c_end_dummy,
+        tlens,
+        feas_dummy,
+        s_lo,
+        buf_ckpt,
+        dummy_done,
+        dummy_scores,
+        pen=pen,
+        n_steps=n_steps,
+        with_history=True,
+    )
+
+    # ordered window: row r <-> absolute score s_lo - D + 1 + r
+    order = jnp.mod(s_lo - D + 1 + jnp.arange(D, dtype=jnp.int32), D)
+    svals = s_lo - D + 1 + jnp.arange(D, dtype=jnp.int32)
+    window = {}
+    for comp in _COMPS:
+        head = jnp.take(buf_ckpt[comp], order, axis=0)
+        head = jnp.where(svals[:, None, None] >= 0, head, NULL)
+        window[comp] = jnp.concatenate([head, hist[comp]], axis=0)
+
+    s_base = s_lo - D + 1  # absolute score of window row 0
+
+    def fetch(comp, s, c):
+        r = s - s_base
+        r_ok = (r >= 0) & (r < W) & (s >= 0)
+        c_ok = (c >= 0) & (c < K)
+        rr = jnp.clip(r, 0, W - 1)
+        cc = jnp.clip(c, 0, K - 1)
+        val = window[comp][rr, rows, cc]
+        return jnp.where(r_ok & c_ok, val, NULL)
+
+    s0, c0, h0, comp0, active0 = walk
+    ops, lens, nrun, overflow = bufs
+
+    def emit(ops, lens, nrun, do, op, count):
+        do = do & (count > 0)
+        idx = jnp.clip(nrun, 0, run_cap - 1)
+        ops = ops.at[rows, idx].set(jnp.where(do, op, ops[rows, idx]))
+        lens = lens.at[rows, idx].set(jnp.where(do, count, lens[rows, idx]))
+        nrun = nrun + do.astype(jnp.int32)
+        return ops, lens, nrun
+
+    # each iteration either emits a run or closes a gap run; bound by the
+    # runs this segment can produce plus slack (never hang the chip)
+    max_iters = 3 * run_cap + 8
+
+    def stepping_of(s, active):
+        return active & ((s > s_lo) | (s == 0))
+
+    def cond(carry):
+        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
+        return jnp.any(stepping_of(s, active)) & (it < max_iters)
+
+    def body(carry):
+        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
+        stepping = stepping_of(s, active)
+
+        is_m = comp == _C_M
+        at_origin = is_m & (s == 0)
+
+        # ----- M state (identical to batch.wavefront_traceback) -----
+        mis_v = fetch("m", s - pen.x, c)
+        cand_x = jnp.where(mis_v > NULL, mis_v + 1, NULL)
+        cand_i1 = fetch("i1", s, c)
+        cand_d1 = fetch("d1", s, c)
+        cand_i2 = fetch("i2", s, c)
+        cand_d2 = fetch("d2", s, c)
+        pre = jnp.maximum(
+            jnp.maximum(jnp.maximum(cand_x, cand_i1), jnp.maximum(cand_d1, cand_i2)),
+            cand_d2,
+        )
+        choice = jnp.where(
+            cand_x == pre,
+            _C_M,
+            jnp.where(
+                cand_i1 == pre,
+                _C_I1,
+                jnp.where(
+                    cand_i2 == pre,
+                    _C_I2,
+                    jnp.where(cand_d1 == pre, _C_D1, _C_D2),
+                ),
+            ),
+        )
+        n_match = jnp.where(at_origin, h, h - pre)
+
+        # ----- gap states: extend preferred over open -----
+        i1_ext = fetch("i1", s - pen.e1, c - 1)
+        i1_ext_ok = (i1_ext > NULL) & (i1_ext + 1 == h)
+        i2_ext = fetch("i2", s - pen.e2, c - 1)
+        i2_ext_ok = (i2_ext > NULL) & (i2_ext + 1 == h)
+        d1_ext = fetch("d1", s - pen.e1, c + 1)
+        d1_ext_ok = (d1_ext > NULL) & (d1_ext == h)
+        d2_ext = fetch("d2", s - pen.e2, c + 1)
+        d2_ext_ok = (d2_ext > NULL) & (d2_ext == h)
+
+        is_i = (comp == _C_I1) | (comp == _C_I2)
+        is_d = (comp == _C_D1) | (comp == _C_D2)
+        gap_e = jnp.where((comp == _C_I1) | (comp == _C_D1), pen.e1, pen.e2)
+        gap_oe = jnp.where(
+            (comp == _C_I1) | (comp == _C_D1), pen.o1 + pen.e1, pen.o2 + pen.e2
+        )
+        ext_ok = jnp.where(
+            comp == _C_I1,
+            i1_ext_ok,
+            jnp.where(
+                comp == _C_I2,
+                i2_ext_ok,
+                jnp.where(comp == _C_D1, d1_ext_ok, d2_ext_ok),
+            ),
+        )
+
+        # ----- emits -----
+        ops, lens, nrun = emit(
+            ops, lens, nrun, stepping & is_m, jnp.uint8(_OP_M),
+            jnp.where(is_m, n_match, 0),
+        )
+        mismatch_step = stepping & is_m & (~at_origin) & (choice == _C_M)
+        ops, lens, nrun = emit(
+            ops, lens, nrun, mismatch_step, jnp.uint8(_OP_X),
+            jnp.where(mismatch_step, 1, 0),
+        )
+        i_step = stepping & is_i
+        ops, lens, nrun = emit(
+            ops, lens, nrun, i_step, jnp.uint8(_OP_I), jnp.where(i_step, 1, 0)
+        )
+        d_step = stepping & is_d
+        ops, lens, nrun = emit(
+            ops, lens, nrun, d_step, jnp.uint8(_OP_D), jnp.where(d_step, 1, 0)
+        )
+
+        # ----- transitions -----
+        m_new_s = jnp.where(choice == _C_M, s - pen.x, s)
+        m_new_h = jnp.where(choice == _C_M, pre - 1, pre)
+        m_new_comp = choice
+        g_new_comp = jnp.where(ext_ok, comp, _C_M)
+        g_new_s = jnp.where(ext_ok, s - gap_e, s - gap_oe)
+        g_new_c = jnp.where(is_i, c - 1, c + 1)
+        g_new_h = jnp.where(is_i, h - 1, h)
+
+        new_s = jnp.where(is_m, m_new_s, g_new_s)
+        new_h = jnp.where(is_m, m_new_h, g_new_h)
+        new_c = jnp.where(is_m, c, g_new_c)
+        new_comp = jnp.where(is_m, m_new_comp, g_new_comp)
+
+        finished = stepping & at_origin
+        overflow = overflow | (stepping & (nrun >= run_cap))
+        active = active & (~finished) & (~overflow)
+
+        moved = stepping & (~at_origin)
+        s = jnp.where(moved, new_s, s)
+        h = jnp.where(moved, new_h, h)
+        c = jnp.where(moved, new_c, c)
+        comp = jnp.where(moved, new_comp, comp)
+        return (s, c, h, comp, active, ops, lens, nrun, overflow, it + 1)
+
+    carry = (s0, c0, h0, comp0, active0, ops, lens, nrun, overflow, jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    (s, c, h, comp, active, ops, lens, nrun, overflow, _) = carry
+    return (s, c, h, comp, active), (ops, lens, nrun, overflow)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WfSegConfig:
+    k_initial: int = 128
+    k_max: int = 1 << 12
+    #: score levels per checkpoint segment
+    ckpt_every: int = 256
+    #: initial score cap when no hint is available
+    s_cap_initial: int = 512
+    #: growth factor for score-cap escalation
+    s_cap_growth: int = 4
+    #: absolute score cap: pairs needing more fall back to the dense
+    #: segmented engine (high divergence; s no longer << L)
+    s_cap_max: int = 1 << 14
+    #: memory budget for one group's checkpoints + one segment's planes
+    budget_bytes: int = 2 << 30
+    max_batch: int = 256
+
+
+class WavefrontSegmentedAligner:
+    """Long-pair aligner with O(s*K) compute and O(s/C * D * K) memory.
+
+    align_pairs returns [(score, cigar) | None | DENSE_FALLBACK]: the
+    sentinel marks pairs whose score cap or band exceeded the configured
+    ceilings — the caller (UnifiedAligner) reroutes those to the dense
+    segmented engine rather than failing them."""
+
+    DENSE_FALLBACK = "dense"
+
+    def __init__(self, pen: Penalties, config: Optional[WfSegConfig] = None):
+        from ..utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self.pen = pen
+        self.config = config or WfSegConfig()
+
+    @staticmethod
+    def _next_pow2(n: int) -> int:
+        return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
+
+    K_LADDER = sorted({128 << i for i in range(8)} | {384 << i for i in range(6)})
+
+    def _round_k(self, k: int) -> int:
+        for v in self.K_LADDER:
+            if v >= k:
+                return v
+        return self.K_LADDER[-1]
+
+    def _k_for_score(self, sigma: int, kend_abs: int) -> int:
+        """Same exit-and-return band bound as the dense engines."""
+        t = sigma // 2 + 1
+        n = max(1, -(-(t - self.pen.o1) // self.pen.e1))
+        if self.pen.two_piece:
+            n = max(n, -(-(t - self.pen.o2) // self.pen.e2))
+        w = n - 1
+        k = kend_abs + 2 * max(w, 0) + 3
+        return self._round_k(max(k, self.config.k_initial))
+
+    def _s_cap_for_hint(self, hint: int) -> int:
+        """Score cap from a mash-derived estimate: headroom for hint
+        noise, rounded to a segment multiple."""
+        C = self.config.ckpt_every
+        want = max(self.config.s_cap_initial, 2 * hint + C)
+        return min(self._round_up_seg(want), self.config.s_cap_max)
+
+    def _round_up_seg(self, s: int) -> int:
+        C = self.config.ckpt_every
+        return ((s + C - 1) // C) * C
+
+    def align_pairs(
+        self, pairs: List[Tuple[bytes, bytes]], sigma_hint=None
+    ):
+        n = len(pairs)
+        results: List[object] = [None] * n
+        if n == 0:
+            return results
+        cfg = self.config
+        # rounds keyed by (K, s_cap)
+        rounds: Dict[Tuple[int, int], List[int]] = {}
+        for i, (q, t) in enumerate(pairs):
+            kend_abs = abs(len(t) - len(q))
+            if sigma_hint is not None:
+                hint = int(sigma_hint[i])
+                ki = self._k_for_score(hint, kend_abs)
+                si = self._s_cap_for_hint(hint)
+            else:
+                ki = self._round_k(max(cfg.k_initial, kend_abs + 2))
+                si = self._round_up_seg(cfg.s_cap_initial)
+            if ki > cfg.k_max or si > cfg.s_cap_max:
+                results[i] = self.DENSE_FALLBACK
+                continue
+            rounds.setdefault((ki, si), []).append(i)
+
+        while rounds:
+            (k, s_cap) = min(rounds)
+            idxs = rounds.pop((k, s_cap))
+            if k > cfg.k_max or s_cap > cfg.s_cap_max:
+                for i in idxs:
+                    results[i] = self.DENSE_FALLBACK
+                continue
+            # batch size from the memory budget: checkpoints dominate
+            D = self.pen.max_lookback + 1
+            C = cfg.ckpt_every
+            n_seg = s_cap // C
+            per_pair = 4 * 5 * k * (n_seg * D + 2 * C + D)
+            bsz = int(max(1, min(cfg.budget_bytes // per_pair, cfg.max_batch)))
+            idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+            for lo in range(0, len(idxs), bsz):
+                group = idxs[lo : lo + bsz]
+                esc = self._run_group(pairs, group, results, k, s_cap)
+                for i, key in esc:
+                    if key is None:
+                        results[i] = self.DENSE_FALLBACK
+                    else:
+                        rounds.setdefault(key, []).append(i)
+        return results
+
+    def _run_group(self, pairs, group, results, k, s_cap):
+        cfg = self.config
+        C = cfg.ckpt_every
+        B = self._next_pow2(len(group))
+        l_pad = self._next_pow2(
+            max(max(max(len(q), len(t)) for q, t in (pairs[i] for i in group)), 4)
+        )
+        qs = np.zeros((B, l_pad), np.uint8)
+        ts = np.zeros((B, l_pad), np.uint8)
+        qlens = np.zeros((B,), np.int32)
+        tlens = np.zeros((B,), np.int32)
+        for j, i in enumerate(group):
+            q, t = pairs[i]
+            qs[j, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+            ts[j, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+            qlens[j] = len(q)
+            tlens[j] = len(t)
+        qs, ts = jnp.asarray(qs), jnp.asarray(ts)
+        qlens_d, tlens_d = jnp.asarray(qlens), jnp.asarray(tlens)
+
+        q4, t4, ks, h_max, c_end, feasible, buf, done, scores = wf_init(
+            qs, ts, qlens_d, tlens_d, self.pen, k
+        )
+
+        # ---- sweep with checkpoints ----
+        n_seg = s_cap // C
+        ckpts = [buf]
+        top_seg = n_seg  # first segment index NOT swept
+        for seg in range(n_seg):
+            if bool(np.asarray(jnp.all(done))):
+                top_seg = seg
+                break
+            buf, done, scores, _ = wf_span(
+                q4,
+                t4,
+                ks,
+                h_max,
+                c_end,
+                tlens_d,
+                feasible,
+                jnp.int32(seg * C),
+                buf,
+                done,
+                scores,
+                pen=self.pen,
+                n_steps=C,
+                with_history=False,
+            )
+            ckpts.append(buf)
+
+        scores_h = np.asarray(scores)
+        done_h = np.asarray(done)
+
+        # ---- certificate: same exit-and-return bound as the dense path ----
+        k_end = tlens.astype(np.int64) - qlens.astype(np.int64)
+        slack = (k - 1 - np.abs(k_end)) // 2
+        nn = np.maximum(slack, 0) + 1
+        esc_bound = 2 * np.minimum(
+            self.pen.o1 + nn * self.pen.e1,
+            (self.pen.o2 + nn * self.pen.e2)
+            if self.pen.two_piece
+            else self.pen.o1 + nn * self.pen.e1,
+        )
+        k0_h = np.minimum(0, k_end) - slack
+        full_cover = (k0_h <= -qlens) & (k0_h + (k - 1) >= tlens)
+        cert = done_h & ((scores_h < esc_bound) | full_cover)
+
+        escalate: List[Tuple[int, Optional[Tuple[int, int]]]] = []
+        any_good = False
+        for j, i in enumerate(group):
+            if not done_h[j]:
+                ns = s_cap * cfg.s_cap_growth
+                if ns > cfg.s_cap_max:
+                    escalate.append((i, None))
+                else:
+                    escalate.append((i, (k, ns)))
+            elif not cert[j]:
+                nk = max(self._k_for_score(int(scores_h[j]), int(abs(k_end[j]))), 2 * k)
+                if nk > cfg.k_max:
+                    escalate.append((i, None))
+                else:
+                    escalate.append((i, (nk, self._round_up_seg(s_cap))))
+            else:
+                any_good = True
+        if not any_good:
+            return escalate
+
+        # ---- backward replay + traceback ----
+        run_cap = self._run_cap(scores_h, done_h)
+        walk = (
+            jnp.asarray(np.where(cert, scores_h, -1).astype(np.int32)),
+            c_end,
+            tlens_d,
+            jnp.zeros((B,), jnp.int32),
+            jnp.asarray(cert) & (tlens_d + qlens_d > 0),
+        )
+        bufs = (
+            jnp.zeros((B, run_cap), jnp.uint8),
+            jnp.zeros((B, run_cap), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.bool_),
+        )
+        # at least one pass even when everything finished at score 0
+        # (the origin M-run emit happens inside a segment traceback)
+        top = max(1, min(top_seg, len(ckpts) - 1))
+        for seg in range(top - 1, -1, -1):
+            walk, bufs = wf_replay_traceback(
+                q4,
+                t4,
+                ks,
+                h_max,
+                tlens_d,
+                ckpts[seg],
+                jnp.int32(seg * C),
+                walk,
+                bufs,
+                pen=self.pen,
+                n_steps=C,
+                run_cap=run_cap,
+            )
+
+        from ..utils.telemetry import counters
+
+        counters.add(
+            pairs=len(group),
+            cells=len(group) * 2 * top * C * k,
+            dispatches=2 * top,
+        )
+
+        ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
+        still_active = np.asarray(walk[4])
+        overflow = overflow | still_active
+        for j, i in enumerate(group):
+            if not cert[j]:
+                continue
+            if overflow[j]:
+                # pathological run counts: dense path has bigger buffers
+                escalate.append((i, None))
+                continue
+            cigar = expand_runs_to_cigar(ops[j], lens[j].astype(np.int64), int(nrun[j]))
+            results[i] = (int(scores_h[j]), cigar)
+        return escalate
+
+    @staticmethod
+    def _run_cap(scores_h, done_h) -> int:
+        """Run-buffer capacity: each scored unit adds at most ~3 runs
+        (X or gap open/extend closes), plus match runs between them."""
+        smax = int(scores_h[done_h].max()) if done_h.any() else 0
+        return max(512, 4 * smax + 64)

@@ -1,0 +1,134 @@
+"""Wavefront checkpoint-replay engine (wfa/wf_segmented.py).
+
+The long-pair analog of the reference's always-on biWFA low-memory mode
+(/root/reference/src/alignment.rs:265-287): O(s*K) compute, O(s/C)
+checkpoint memory, bit-exact scores AND CIGARs vs the dense engines.
+Includes the 100 kb end-to-end case from the reference suite
+(/root/reference/tests/integration_tests.rs:557-597).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from allwave_tpu.core.scores import parse_scores
+from allwave_tpu.wfa.params import resolve_penalties
+from allwave_tpu.wfa.dense_engine import DenseBandAligner, UnifiedAligner
+from allwave_tpu.wfa.wf_segmented import (
+    WavefrontSegmentedAligner,
+    WfSegConfig,
+)
+
+TWOPIECE = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+AFFINE = resolve_penalties(parse_scores("0,5,8,2"))
+EDIT = resolve_penalties(parse_scores("0,1,1,1"))
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _mutated_pair(rng, L, div, indel=0.002):
+    q = rng.choice(_BASES, L).astype(np.uint8)
+    t = q.copy()
+    m = rng.rand(L) < div
+    t[m] = rng.choice(_BASES, int(m.sum()))
+    n_ind = max(1, int(L * indel))
+    t = np.delete(t, rng.randint(0, len(t), n_ind))
+    pos = rng.randint(0, len(t), n_ind)
+    t = np.insert(t, pos, rng.choice(_BASES, n_ind))
+    return q.tobytes(), t.tobytes()
+
+
+@pytest.mark.parametrize("pen", [EDIT, AFFINE, TWOPIECE], ids=["edit", "affine", "2p"])
+def test_bit_exact_vs_dense(pen):
+    rng = np.random.RandomState(11)
+    pairs = [_mutated_pair(rng, L, d) for L, d in
+             [(500, 0.0), (500, 0.02), (700, 0.06), (1100, 0.01)]]
+    pairs.append((pairs[0][0], pairs[0][0]))  # identical
+    dense = DenseBandAligner(pen).align_pairs(pairs)
+    wf = WavefrontSegmentedAligner(
+        pen, WfSegConfig(ckpt_every=64, s_cap_initial=128)
+    ).align_pairs(pairs)
+    for i, (d, w) in enumerate(zip(dense, wf)):
+        assert not isinstance(w, str) and w is not None, f"pair {i}: {w}"
+        assert d[0] == w[0], f"pair {i}: score {d[0]} vs {w[0]}"
+        np.testing.assert_array_equal(np.asarray(d[1]), np.asarray(w[1]))
+
+
+def test_escalation_from_bad_hint():
+    """A hint far below the true score must escalate (s_cap growth) and
+    still produce the exact result."""
+    rng = np.random.RandomState(23)
+    pairs = [_mutated_pair(rng, 800, 0.08)]
+    dense = DenseBandAligner(TWOPIECE).align_pairs(pairs)
+    wf = WavefrontSegmentedAligner(
+        TWOPIECE, WfSegConfig(ckpt_every=64, s_cap_initial=64)
+    ).align_pairs(pairs, sigma_hint=[4])
+    assert wf[0][0] == dense[0][0]
+    np.testing.assert_array_equal(np.asarray(wf[0][1]), np.asarray(dense[0][1]))
+
+
+def test_dense_fallback_sentinel():
+    """Pairs whose score cap exceeds the ceiling return the sentinel
+    instead of a wrong/failed result."""
+    rng = np.random.RandomState(31)
+    q, t = _mutated_pair(rng, 600, 0.5, indel=0.02)  # ~50% divergence
+    wf = WavefrontSegmentedAligner(
+        TWOPIECE, WfSegConfig(ckpt_every=64, s_cap_initial=64, s_cap_max=128)
+    ).align_pairs([(q, t)])
+    assert wf[0] is WavefrontSegmentedAligner.DENSE_FALLBACK
+
+
+def test_unified_long_pair_routing():
+    """UnifiedAligner routes long pairs through the wavefront engine and
+    falls back to dense-segmented transparently — results identical to
+    the dense path."""
+    rng = np.random.RandomState(47)
+    pairs = [
+        _mutated_pair(rng, 20_000, 0.01),
+        _mutated_pair(rng, 20_000, 0.002),
+    ]
+    ua = UnifiedAligner(TWOPIECE, dense_max_len=4096)
+    out = ua.align_pairs(pairs)
+    os.environ["ALLWAVE_NO_WFSEG"] = "1"
+    try:
+        ua2 = UnifiedAligner(TWOPIECE, dense_max_len=4096)
+        ref = ua2.align_pairs(pairs)
+    finally:
+        del os.environ["ALLWAVE_NO_WFSEG"]
+    for i, (a, b) in enumerate(zip(out, ref)):
+        assert a[0] == b[0], f"pair {i}"
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.mark.skipif(
+    os.environ.get("ALLWAVE_SKIP_SLOW") == "1", reason="slow (100 kb pair)"
+)
+def test_long_sequences_100kb():
+    """Reference: tests/integration_tests.rs:557-597 — a 100 kb pair
+    with SNPs + indels must align end-to-end with >95% coverage and a
+    >95 kb alignment length."""
+    from allwave_tpu.core.cigar import (
+        count_cigar_operations,
+        parse_cigar_lengths,
+        validate_cigar,
+    )
+    from allwave_tpu.testing.synth import MutationConfig, make_test_case
+
+    cfg = MutationConfig(
+        snp_rate=0.002,
+        insertion_rate=0.0001,
+        deletion_rate=0.0001,
+        n_microsatellites=1,
+    )
+    case = make_test_case(seed=300, n_sequences=2, length=100_000, cfg=cfg, gc=0.45)
+    q = case.sequences[0].seq
+    t = case.sequences[1].seq
+    ua = UnifiedAligner(TWOPIECE)
+    score, cigar = ua.align_pairs([(q, t)], sigma_hint=[2000])[0]
+    validate_cigar(cigar, q, t)
+    qlen, tlen = parse_cigar_lengths(cigar)
+    assert qlen == len(q) and tlen == len(t)  # global: full consumption
+    matches, aln_len = count_cigar_operations(cigar)
+    assert aln_len > 95_000
+    assert matches / aln_len > 0.95
