@@ -237,7 +237,42 @@ class DenseBandAligner:
         pool_seqs is a list of byte strings and qidx/tidx are per-pair
         row indices into it. The streaming pipeline uses this entry
         point directly (it knows the indices), skipping the per-pair
-        bytes hashing of the dict-based wrapper."""
+        bytes hashing of the dict-based wrapper.
+
+        Engine-fallback ladder: if a Pallas dispatch fails to
+        compile/execute on this accelerator (Mosaic rejections differ
+        across TPU generations and only surface at first execution),
+        the call retries once with the transposed kernel disabled, and
+        once more on the portable XLA scan — results are bit-identical
+        across all three engines, so correctness is unaffected."""
+        while True:
+            try:
+                return self._align_pairs_indexed(
+                    pool_seqs, qidx, tidx, with_stats, sigma_hint, as_runs
+                )
+            except Exception:
+                import jax
+
+                from . import pallas_dense as P
+
+                if self.impl != "pallas":
+                    raise
+                if not P._T_DISABLED:
+                    P.disable_transposed()
+                else:
+                    self.impl = "xla"
+                jax.clear_caches()
+                self._sharded_steps.clear()
+
+    def _align_pairs_indexed(
+        self,
+        pool_seqs,
+        qidx: np.ndarray,
+        tidx: np.ndarray,
+        with_stats: bool = False,
+        sigma_hint=None,
+        as_runs: bool = False,
+    ):
         self._as_runs = as_runs
         n = len(qidx)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n

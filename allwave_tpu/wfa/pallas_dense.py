@@ -47,6 +47,7 @@ the empirical traceback order pinned by tests/test_dense.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -875,11 +876,24 @@ T_MAX_K = 2048
 T_TB = 128
 
 
+#: kill switch for the transposed kernel (env ALLWAVE_NO_TRANSPOSED=1,
+#: or flipped at runtime by DenseBandAligner's engine-fallback ladder
+#: if the kernel fails to compile/execute on the local accelerator)
+_T_DISABLED = os.environ.get("ALLWAVE_NO_TRANSPOSED") == "1"
+
+
+def disable_transposed() -> None:
+    """Route all future traces to the legacy kernels. Callers must
+    clear jit caches (jax.clear_caches()) so routing re-evaluates."""
+    global _T_DISABLED
+    _T_DISABLED = True
+
+
 def uses_transposed_planes(k_width: int) -> bool:
     """True when dense_forward_pallas emits (d, K, B)-shaped choice
     planes from the transposed kernel (callers pass transposed= to
     dense_traceback accordingly)."""
-    return k_width <= T_MAX_K
+    return k_width <= T_MAX_K and not _T_DISABLED
 
 
 def uses_compressed_planes(k_width: int) -> bool:

@@ -193,3 +193,32 @@ def test_engine_pallas_impl_matches_xla_impl():
     for a, b in zip(out, out2):
         assert a[0] == b[0]
         np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_engine_fallback_ladder_lands_on_xla(monkeypatch):
+    """If Pallas dispatch raises at execution (Mosaic rejection on a
+    new TPU generation), align_pairs retries: transposed off first,
+    then the portable XLA scan — the caller sees correct results, not
+    the exception. Forcing impl=pallas on the CPU backend reproduces
+    the failure (non-interpret Pallas TPU kernels cannot run here)."""
+    from allwave_tpu.wfa import pallas_dense as P
+    from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
+
+    monkeypatch.setattr(P, "_T_DISABLED", False)
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    rng = np.random.RandomState(21)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for _ in range(4):
+        q = rng.choice(bases, rng.randint(80, 150)).tobytes()
+        t = bytearray(q)
+        for p in range(0, len(t), 23):
+            t[p] = bases[rng.randint(4)]
+        pairs.append((q, bytes(t)))
+    al = DenseBandAligner(pen, DenseConfig(impl="pallas"))
+    out = al.align_pairs(pairs)
+    assert al.impl == "xla"  # ladder bottomed out on the portable engine
+    ref = DenseBandAligner(pen, DenseConfig(impl="xla")).align_pairs(pairs)
+    for a, b in zip(out, ref):
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])
