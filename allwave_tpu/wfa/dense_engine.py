@@ -45,6 +45,12 @@ class DenseConfig:
     impl: Optional[str] = None
 
 
+#: dispatch shapes already compiled this process (jit caches are
+#: process-global); rounds whose shape is absent prefer the host oracle
+#: below a size bound — see align_pairs_indexed
+_COMPILED_SHAPES: set = set()
+
+
 def _auto_impl() -> str:
     env = os.environ.get("ALLWAVE_DENSE_IMPL")
     if env in ("xla", "pallas"):
@@ -263,6 +269,7 @@ class DenseBandAligner:
                     self.impl = "xla"
                 jax.clear_caches()
                 self._sharded_steps.clear()
+                _COMPILED_SHAPES.clear()
 
     def _align_pairs_indexed(
         self,
@@ -373,6 +380,18 @@ class DenseBandAligner:
         # cross-checked bit-exact against the device engines
         # (tests/test_wfa_oracle.py, tests/test_fuzz_cross_engine.py)
         native_max = int(os.environ.get("ALLWAVE_NATIVE_ESC", "96"))
+        # an UNSEEN kernel shape costs 10-118 s of server-side compile
+        # over the driver tunnel EVERY process (the server does not
+        # cache executables across processes) — so cold shapes accept a
+        # much larger round on the host oracle than warm ones
+        import jax as _jax
+
+        native_cold = (
+            int(os.environ.get("ALLWAVE_NATIVE_COLD", "512"))
+            if _jax.default_backend() != "cpu"  # CPU compiles are cheap
+            else 0
+        )
+        native_cold_bases = 2_000_000
         initial_keys = frozenset(rounds)  # escalations = keys added later
 
         def _native_round(idxs) -> bool:
@@ -412,9 +431,21 @@ class DenseBandAligner:
             idxs = rounds.pop((k, cap))
             if k > self.config.k_max:
                 continue  # overflow: left as None (failed pair contract)
+            qlens_all, tlens_all = self._lens
+            cold = (
+                self._shape_key(k, cap, l_pad, self._next_pow2(len(idxs)))
+                not in _COMPILED_SHAPES
+            )
+            limit = 0 if (k, cap) in initial_keys else native_max
+            if cold:
+                limit = max(limit, native_cold)
             if (
-                (k, cap) not in initial_keys
-                and 0 < len(idxs) <= native_max
+                0 < len(idxs) <= limit
+                and (
+                    not cold
+                    or int((qlens_all + tlens_all)[idxs].sum())
+                    <= native_cold_bases
+                )
                 and _native_round(idxs)
             ):
                 continue
@@ -444,6 +475,18 @@ class DenseBandAligner:
                     _drain_one()
         return (results, stats) if with_stats else results
 
+    def _shape_key(self, k, run_cap, l_pad, b_pad):
+        """Executable identity for one dispatch: compiled code is keyed
+        by these statics (jit caches are process-global, so the seen-set
+        is module-global too). Mirrors _dispatch_group's impl downgrade."""
+        impl = self.impl
+        if impl == "pallas":
+            from .pallas_dense import K_MAX_C2
+
+            if k > K_MAX_C2:
+                impl = "xla"
+        return (impl, self._use_mesh(), k, run_cap, l_pad, b_pad)
+
     def _dispatch_group(self, group, k, run_cap, l_pad):
         """Enqueue one fused forward+traceback dispatch (the sequence
         pool is already device-resident — see _build_pool); returns the
@@ -452,6 +495,7 @@ class DenseBandAligner:
 
         pool_dev, qidx, tidx, qlens, tlens = self._pool
         b_pad = self._next_pow2(len(group))
+        _COMPILED_SHAPES.add(self._shape_key(k, run_cap, l_pad, b_pad))
         gi = np.asarray(group, dtype=np.int64)
         pad = b_pad - len(group)
         # padded rows point at pool row 0 with length 0 (same contract

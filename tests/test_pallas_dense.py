@@ -205,6 +205,10 @@ def test_engine_fallback_ladder_lands_on_xla(monkeypatch):
     from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
 
     monkeypatch.setattr(P, "_T_DISABLED", False)
+    # force the device path: cold-shape rounds otherwise route to the
+    # host oracle and never hit the failing Pallas dispatch
+    monkeypatch.setenv("ALLWAVE_NATIVE_COLD", "0")
+    monkeypatch.setenv("ALLWAVE_NATIVE_ESC", "0")
     pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
     rng = np.random.RandomState(21)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
