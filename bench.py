@@ -137,10 +137,72 @@ def run_config_matrix(budget_s: float):
             "5_100kb", c5.sequences, "0,5,8,2,24,1", NoSparsification(), left()
         )
     )
+    # 5b: 100 kb at MHC-like divergence (~0.25%) — the regime BASELINE.md
+    # names ("MHC-like haplotypes"); s << L, served by the wavefront
+    # checkpoint-replay engine (wfa/wf_segmented.py). The 2% row above
+    # stays for round-over-round comparability (it exceeds the wavefront
+    # band ceiling and falls back to the dense segmented path).
+    cfg5b = MutationConfig(
+        snp_rate=0.0025, insertion_rate=0.0001, deletion_rate=0.0001
+    )
+    c5b = make_test_case(seed=18, n_sequences=4, length=100_000, cfg=cfg5b)
+    results.append(
+        _run_config(
+            "5b_100kb_lowdiv",
+            c5b.sequences,
+            "0,5,8,2,24,1",
+            NoSparsification(),
+            left(),
+        )
+    )
     return results
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """True iff the default JAX backend initializes AND executes a tiny
+    op within timeout_s — probed in a SUBPROCESS because a dead driver
+    tunnel makes backend init hang for tens of minutes rather than fail
+    fast (observed: 25 min to UNAVAILABLE). On False the caller pins
+    JAX_PLATFORMS=cpu so the bench always completes and prints."""
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "jax.devices();"
+        "np.asarray(jnp.ones((8, 128)) * 2)"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if (
+        "JAX_PLATFORMS" not in os.environ
+        and "ALLWAVE_PLATFORM" not in os.environ
+        and not _probe_backend(
+            float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300"))
+        )
+    ):
+        # NOTE: this environment's sitecustomize force-registers the
+        # axon plugin and overrides jax_platforms — the env var alone is
+        # not enough; ALLWAVE_PLATFORM triggers an in-process
+        # jax.config.update (utils/jaxcache.py) and propagates to any
+        # subprocesses
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["ALLWAVE_PLATFORM"] = "cpu"
+        os.environ["BENCH_BACKEND_FALLBACK"] = "1"
+        print(
+            "bench: accelerator backend unavailable (probe timed out/"
+            "failed); falling back to CPU",
+            file=sys.stderr,
+        )
     n_seqs = int(os.environ.get("BENCH_N_SEQS", "128"))
     length = int(os.environ.get("BENCH_LEN", "1000"))
     div = float(os.environ.get("BENCH_DIVERGENCE", "0.02"))
@@ -228,6 +290,11 @@ def main():
     platform = jax.devices()[0].platform
 
     extra = {
+        **(
+            {"backend_fallback": "accelerator unavailable, CPU used"}
+            if os.environ.get("BENCH_BACKEND_FALLBACK")
+            else {}
+        ),
         "wavefront_cells_per_sec": round(cells_per_sec),
         "cpu_single_core_alignments_per_sec": round(cpu_rate, 2),
         "pairs": len(pairs),
