@@ -106,6 +106,7 @@ class AllPairAligner:
         self.engine_config = engine_config
         self.pairs = build_pairs(sequences, self.sparsification, exclude_self)
         self._orient = OrientationIndex(sequences, threads=max(int(threads), 1))
+        self._orient_eng: Optional["UnifiedAligner"] = None
 
     @classmethod
     def with_options(
@@ -207,8 +208,12 @@ class AllPairAligner:
         """WFA-edit-distance orientation (reference: alignment.rs:157-175):
         align both orientations globally with the orientation params and
         compare X+I+D op counts; ties go forward."""
-        pen = resolve_penalties(self.orientation_params)
-        eng = UnifiedAligner(pen, wavefront_config=self.engine_config)
+        if self._orient_eng is None:
+            pen = resolve_penalties(self.orientation_params)
+            self._orient_eng = UnifiedAligner(
+                pen, wavefront_config=self.engine_config
+            )
+        eng = self._orient_eng
         fwd_pairs = []
         rev_pairs = []
         for i, j in chunk:
