@@ -305,12 +305,16 @@ class OrientationIndex:
                 dec, dist = self._decision_submatrix(q_idx, t_idx)
                 self._sub = (q_idx, t_idx, dec, dist)
                 return self._sub_lookup(idx)[0]
-            # the device path pays ~60-90 ms of fixed tunnel/dispatch
-            # cost; the NumPy path grows ~n^2 (measured: 30 ms at n=64,
-            # 66 ms at n=128, 850 ms at n=500) — crossover is ~n=200
+            # the device path pays a fixed tunnel/dispatch cost (~60-90
+            # ms on the calibration tunnel); the NumPy path grows ~n^2
+            # (measured: 30 ms at n=64, 66 ms at n=128, 850 ms at
+            # n=500) — crossover ~n=192 at a 25 ms round trip, scaled
+            # to the live link by utils.devlat
+            from ..utils.devlat import calibrated_threshold
+
             use_device = (
-                len(self.sequences) >= 192
-                and jax.default_backend() != "cpu"
+                jax.default_backend() != "cpu"
+                and len(self.sequences) >= calibrated_threshold(192, 48, 384)
             )
             if use_device:
                 try:

@@ -156,10 +156,19 @@ def pairwise_intersection_counts(sketches: List[np.ndarray]) -> np.ndarray:
     total = int(sizes.sum())
     if total == 0:
         return counts
-    # the device path pays a one-time per-bucket compile; the NumPy
-    # bitmap pass is ~0.4 s at n=300 and grows ~n^2, so the matmul only
-    # starts paying around n >= 512 (and wins big at pangenome scale)
-    if n >= 512:
+    # the device path pays a one-time per-bucket compile plus a fixed
+    # dispatch cost; the NumPy bitmap pass is ~0.4 s at n=300 and grows
+    # ~n^2, so the matmul starts paying around n >= 512 on the
+    # calibration tunnel — scaled to the live link by utils.devlat
+    # (direct-attached chips engage the MXU much earlier)
+    from ..utils.devlat import calibrated_threshold, device_fixed_cost_ms
+
+    device_min_n = (
+        calibrated_threshold(512, 128, 1024)
+        if device_fixed_cost_ms() > 0.0
+        else 512
+    )
+    if n >= device_min_n:
         try:
             return _intersection_counts_device(sketches, sizes)
         except Exception:
