@@ -289,6 +289,12 @@ def main():
 
     platform = jax.devices()[0].platform
 
+    # the BASELINE.md north star is >= 10x a MULTITHREADED CPU run;
+    # allwave scales ~linearly with -t (rayon over independent pairs),
+    # so single-core rate x host cores is the honest proxy
+    host_cores = os.cpu_count() or 1
+    cpu_multi = cpu_rate * host_cores
+
     extra = {
         **(
             {"backend_fallback": "accelerator unavailable, CPU used"}
@@ -297,6 +303,9 @@ def main():
         ),
         "wavefront_cells_per_sec": round(cells_per_sec),
         "cpu_single_core_alignments_per_sec": round(cpu_rate, 2),
+        "host_cores": host_cores,
+        "cpu_multicore_proxy_alignments_per_sec": round(cpu_multi, 2),
+        "vs_multicore_proxy": round(device_rate / cpu_multi, 3),
         "pairs": len(pairs),
         "wall_s": round(dt, 2),
         "first_run_incl_compile_s": round(compile_and_first_run_s, 2),
