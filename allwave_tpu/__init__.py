@@ -11,6 +11,21 @@ Public API mirrors the reference library facade
 and device-resident.
 """
 
+import os as _os
+
+if _os.environ.get("ALLWAVE_PLATFORM"):
+    # Apply the backend override BEFORE anything can initialize jax:
+    # this environment's sitecustomize force-registers a TPU plugin and
+    # overrides jax_platforms, so a lazily-applied knob leaves early
+    # device probes (utils.devlat) dialing the TPU tunnel even when the
+    # caller asked for CPU — and a busy tunnel then blocks the process.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["ALLWAVE_PLATFORM"])
+    except Exception:
+        pass
+
 from .core.types import (
     AlignmentError,
     AlignmentMode,

@@ -47,6 +47,11 @@ from .dense import (
 )
 from .batch import expand_runs_to_cigar
 
+#: widest band the Pallas REPLAY kernel (dense_span_pallas) may take:
+#: its two streamed u8 choice planes + five band in/out/scratch copies
+#: exceed the 16 MB scoped-VMEM limit at K = 16384 (measured: 17.99 MB)
+K_MAX_SPAN_PALLAS = 8192
+
 _OP_M = ord("M")
 _OP_X = ord("X")
 _OP_I = ord("I")
@@ -617,6 +622,13 @@ class SegmentedDenseAligner:
 
             if k > K_MAX:  # beyond the VMEM ceiling; rare escalations
                 impl = "xla"
+        # the replay kernel writes TWO u8 choice planes on top of the
+        # five band in/out/scratch copies; at K = 16384 (tb = 8) that
+        # sums to ~18 MB of scoped VMEM — over the 16 MB limit (observed
+        # Mosaic stack OOM). Cap the replay one ladder rung lower.
+        span_impl = impl
+        if span_impl == "pallas" and k > K_MAX_SPAN_PALLAS:
+            span_impl = "xla"
         scores_d, cert_d, ckpts = dense_sweep_ckpt(
             qs, ts, qlens, tlens, self.pen, K, l_pad, C, impl
         )
@@ -660,7 +672,7 @@ class SegmentedDenseAligner:
         walk = (d, c, comp, alive)
         bufs = (ops, lens, nrun, overflow)
 
-        span = dense_span_pallas if impl == "pallas" else dense_span_xla
+        span = dense_span_pallas if span_impl == "pallas" else dense_span_xla
         n_seg = (2 * l_pad) // C
         # segments above every walker's START position can never be
         # visited (walkers only move to smaller d) — computable on the

@@ -48,7 +48,15 @@ def _merge_cases(cases):
 
 def _run_config(name, seqs, scores_str, sparsification, budget_left):
     """One scaled BASELINE.json config, end-to-end through the pipeline.
-    Returns a result dict (or a skipped marker if over budget)."""
+    Returns a result dict (or a skipped marker if over budget; or an
+    error marker — one failing config must not kill the matrix)."""
+    try:
+        return _run_config_inner(name, seqs, scores_str, sparsification, budget_left)
+    except Exception as e:
+        return {"config": name, "error": f"{type(e).__name__}: {e}"[:2000]}
+
+
+def _run_config_inner(name, seqs, scores_str, sparsification, budget_left):
     from allwave_tpu.core.scores import parse_scores
     from allwave_tpu.engine.pipeline import AllPairAligner
 
