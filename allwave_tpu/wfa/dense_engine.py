@@ -394,22 +394,39 @@ class DenseBandAligner:
         native_cold_bases = 2_000_000
         initial_keys = frozenset(rounds)  # escalations = keys added later
 
-        def _native_round(idxs) -> bool:
+        # wall-clock budget for one host-oracle round: the oracle's cost
+        # scales with divergence^2 (wavefront s^2), so a bases gate alone
+        # misprices high-divergence pairs (tree "stranger" edges measured
+        # ~0.3 s/pair vs ~0.6 ms for same-length 2%-div pairs). Leftovers
+        # past the budget go back to the device — which also compiles the
+        # shape, so later runs take the warm path instead of re-routing
+        # to the oracle forever.
+        native_budget_s = float(
+            os.environ.get("ALLWAVE_NATIVE_BUDGET_S", "2.0")
+        )
+
+        def _native_round(idxs, budget_s=native_budget_s):
+            """Align idxs on the host C++ oracle. Returns the suffix NOT
+            aligned when the time budget runs out (empty list = all
+            done), or None if the native path is unusable for this set."""
+            import time as _time
+
             from .. import native as N
             from ..core.cigar import run_length_encode
 
             if not N.available():
-                return False
+                return None
             qlens_all, tlens_all = self._lens
             for i in idxs:
                 if qlens_all[i] + tlens_all[i] > 1 << 15:
-                    return False
-            for i in idxs:
+                    return None
+            deadline = _time.perf_counter() + budget_s
+            for pos, i in enumerate(idxs):
                 q = pool_seqs[qidx[i]]
                 t = pool_seqs[tidx[i]]
                 out = N.wfa_align_native(q, t, self.pen)
                 if out is None:
-                    return False
+                    return idxs[pos:]
                 score, cigar = out
                 m = int(np.count_nonzero(cigar == ord("M")))
                 x_ = int(np.count_nonzero(cigar == ord("X")))
@@ -421,7 +438,9 @@ class DenseBandAligner:
                 else:
                     results[i] = (score, cigar)
                 stats[i] = (m, m + x_, m + x_ + d_, m + x_ + i_)
-            return True
+                if _time.perf_counter() > deadline:
+                    return idxs[pos + 1 :]
+            return []
 
         while rounds or inflight:
             if not rounds:
@@ -432,23 +451,6 @@ class DenseBandAligner:
             if k > self.config.k_max:
                 continue  # overflow: left as None (failed pair contract)
             qlens_all, tlens_all = self._lens
-            cold = (
-                self._shape_key(k, cap, l_pad, self._next_pow2(len(idxs)))
-                not in _COMPILED_SHAPES
-            )
-            limit = 0 if (k, cap) in initial_keys else native_max
-            if cold:
-                limit = max(limit, native_cold)
-            if (
-                0 < len(idxs) <= limit
-                and (
-                    not cold
-                    or int((qlens_all + tlens_all)[idxs].sum())
-                    <= native_cold_bases
-                )
-                and _native_round(idxs)
-            ):
-                continue
             per_pair = 2 * (2 * max(l_pad, 128) * k)  # choices+runlen planes
             bsz = int(
                 max(
@@ -462,6 +464,40 @@ class DenseBandAligner:
             # clamp to a power of two: groups pad to the next pow2, so a
             # non-pow2 bsz would allocate up to 2x the planned planes
             bsz = 1 << (bsz.bit_length() - 1)
+            # floor the group pad at 512 (within the plane budget): each
+            # distinct b_pad is a separate server-side compile (~10-118 s
+            # over the tunnel, uncached across processes), so collapsing
+            # the tiny/leftover group sizes onto one shape costs a little
+            # padded compute and saves whole compiles
+            self._b_floor = min(bsz, 512)
+            first_pad = min(
+                bsz,
+                max(
+                    self._b_floor,
+                    self._next_pow2(min(len(idxs), bsz)),
+                ),
+            )
+            cold = (
+                self._shape_key(k, cap, l_pad, first_pad)
+                not in _COMPILED_SHAPES
+            )
+            limit = 0 if (k, cap) in initial_keys else native_max
+            if cold:
+                limit = max(limit, native_cold)
+            if 0 < len(idxs) <= limit and (
+                not cold
+                or int((qlens_all + tlens_all)[idxs].sum())
+                <= native_cold_bases
+            ):
+                # a cold leftover pays a 10-118 s server-side compile, so
+                # spend a little longer on the oracle before conceding
+                rest = _native_round(
+                    idxs, native_budget_s * (3 if cold else 1)
+                )
+                if rest is not None:
+                    if not rest:
+                        continue
+                    idxs = rest  # budget hit: the device takes the rest
             ia = np.asarray(idxs, dtype=np.int64)
             qlens_all, tlens_all = self._lens
             idxs = ia[
@@ -494,7 +530,9 @@ class DenseBandAligner:
         import jax.numpy as jnp
 
         pool_dev, qidx, tidx, qlens, tlens = self._pool
-        b_pad = self._next_pow2(len(group))
+        b_pad = max(
+            self._next_pow2(len(group)), getattr(self, "_b_floor", 1)
+        )
         _COMPILED_SHAPES.add(self._shape_key(k, run_cap, l_pad, b_pad))
         gi = np.asarray(group, dtype=np.int64)
         pad = b_pad - len(group)
