@@ -357,7 +357,7 @@ def wf_replay_traceback(
 @dataclass
 class WfSegConfig:
     k_initial: int = 128
-    k_max: int = 1 << 12
+    k_max: int = 1 << 13
     #: score levels per checkpoint segment
     ckpt_every: int = 256
     #: initial score cap when no hint is available
@@ -413,10 +413,16 @@ class WavefrontSegmentedAligner:
 
     def _s_cap_for_hint(self, hint: int) -> int:
         """Score cap from a mash-derived estimate: headroom for hint
-        noise, rounded to a segment multiple."""
+        noise, rounded UP TO A POWER OF TWO so that near-identical hints
+        share one (K, s_cap) round — fine-grained caps fragmented a
+        12-pair workload into batch-of-4 dispatches (measured 3x the
+        wall time). The sweep early-exits once every pair is done, so a
+        generous cap costs only checkpoint-memory budget, not compute."""
         C = self.config.ckpt_every
         want = max(self.config.s_cap_initial, 2 * hint + C)
-        return min(self._round_up_seg(want), self.config.s_cap_max)
+        return min(
+            self._round_up_seg(self._next_pow2(want)), self.config.s_cap_max
+        )
 
     def _round_up_seg(self, s: int) -> int:
         C = self.config.ckpt_every
@@ -436,8 +442,20 @@ class WavefrontSegmentedAligner:
             kend_abs = abs(len(t) - len(q))
             if sigma_hint is not None:
                 hint = int(sigma_hint[i])
-                ki = self._k_for_score(hint, kend_abs)
                 si = self._s_cap_for_hint(hint)
+                # K is sized from s_cap/2, NOT the raw hint, for two
+                # reasons. (1) Margin: certification needs K ~ actual
+                # score (the exit-and-return bound is ~2*(o2 + K/2*e2)),
+                # while the hint models divergence as pure mismatches
+                # and so UNDERestimates whenever indels contribute —
+                # sizing K from the raw hint made every low-divergence
+                # 100 kb pair sweep twice (cert fail -> one rung up);
+                # s_cap/2 >= hint certifies anything up to ~2x the hint
+                # in one sweep. (2) Coalescing: s_cap is pow2-bucketed,
+                # so pairs with nearby hints get the SAME (K, s_cap)
+                # round key and batch together instead of dispatching
+                # in fragments.
+                ki = self._k_for_score(si // 2, kend_abs)
             else:
                 ki = self._round_k(max(cfg.k_initial, kend_abs + 2))
                 si = self._round_up_seg(cfg.s_cap_initial)
@@ -616,6 +634,10 @@ class WavefrontSegmentedAligner:
     @staticmethod
     def _run_cap(scores_h, done_h) -> int:
         """Run-buffer capacity: each scored unit adds at most ~3 runs
-        (X or gap open/extend closes), plus match runs between them."""
+        (X or gap open/extend closes), plus match runs between them.
+        Rounded up to a power of two — run_cap is a static jit argument
+        of wf_replay_traceback, and a raw 4*smax+64 forced a fresh
+        multi-second kernel compile for nearly every group."""
         smax = int(scores_h[done_h].max()) if done_h.any() else 0
-        return max(512, 4 * smax + 64)
+        want = max(512, 4 * smax + 64)
+        return 1 << (want - 1).bit_length()

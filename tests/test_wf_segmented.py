@@ -132,3 +132,41 @@ def test_long_sequences_100kb():
     matches, aln_len = count_cigar_operations(cigar)
     assert aln_len > 95_000
     assert matches / aln_len > 0.95
+
+
+def test_round_keys_coalesce_nearby_hints():
+    """Nearby mash hints must land in ONE (K, s_cap) round: fine-grained
+    s_cap keys fragmented a 12-pair 100 kb workload into batch-of-4
+    dispatches (3x wall time), and a raw 4*smax+64 run_cap forced a
+    fresh kernel compile per group."""
+    wf = WavefrontSegmentedAligner(TWOPIECE)
+    keys = set()
+    for hint in (2534, 2577, 2636, 2669, 2726, 2773):
+        si = wf._s_cap_for_hint(hint)
+        ki = wf._k_for_score(si // 2, 0)
+        keys.add((ki, si))
+    assert len(keys) == 1, keys
+    # s_cap and run_cap are pow2-bucketed (static jit args / round keys)
+    si = next(iter(keys))[1]
+    assert si & (si - 1) == 0
+    cap = WavefrontSegmentedAligner._run_cap(
+        np.array([2600, 2700]), np.array([True, True])
+    )
+    assert cap & (cap - 1) == 0
+
+
+def test_k_margin_covers_hint_underestimate():
+    """K sized from the raw hint fails certification whenever the actual
+    score exceeds the hint (cert needs K ~ score); the 1.5x sigma margin
+    must certify a score up to ~1.4x the hint in one sweep."""
+    wf = WavefrontSegmentedAligner(TWOPIECE)
+    hint = 2600
+    k = wf._k_for_score(wf._s_cap_for_hint(hint) // 2, 0)
+    # exit-and-return certificate bound at band k (same formula as
+    # _run_group): score < 2*min(o1 + nn*e1, o2 + nn*e2)
+    slack = (k - 1) // 2
+    nn = slack + 1
+    bound = 2 * min(
+        TWOPIECE.o1 + nn * TWOPIECE.e1, TWOPIECE.o2 + nn * TWOPIECE.e2
+    )
+    assert bound > int(1.4 * hint)
