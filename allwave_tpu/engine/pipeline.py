@@ -250,16 +250,40 @@ class AllPairAligner:
                 as_runs=True,
             )
             # one C-level conversion for the whole chunk instead of
-            # 6 scalar int() calls per record
+            # 6 scalar int() calls per record; AlignmentResult is built
+            # inline via __new__ + slot stores — the _result_from_cigar
+            # wrapper costs ~6 us/record in call+branch overhead alone,
+            # which dominates a 16k-pair chunk on a 1-core host
             chunk_l = chunk.tolist()
             stats_l = stats.tolist()
             revs_l = revs.tolist()
+            AR = AlignmentResult
+            new = AR.__new__
             for (i, j), is_rev, res, st in zip(chunk_l, revs_l, aligned, stats_l):
                 if res is None:
-                    result = AlignmentResult.failed(i, j, is_rev)
+                    result = AR.failed(i, j, is_rev)
                 else:
-                    score, cigar = res
-                    result = _result_from_cigar(i, j, is_rev, score, cigar, st)
+                    r = new(AR)
+                    r.query_idx = i
+                    r.target_idx = j
+                    r.query_start = 0
+                    r.target_start = 0
+                    r.is_reverse = is_rev
+                    r.score = res[0]
+                    cigar = res[1]
+                    (
+                        r.num_matches,
+                        r.alignment_length,
+                        r.query_end,
+                        r.target_end,
+                    ) = st
+                    if type(cigar) is tuple:
+                        r._cigar_bytes = None
+                        r._cigar_runs = cigar
+                    else:
+                        r._cigar_bytes = cigar
+                        r._cigar_runs = None
+                    result = r
                 callback(result)
 
     def __iter__(self):

@@ -47,15 +47,156 @@ from .batch import (
     _OP_I,
     _OP_D,
     _band_geometry,
-    _extend,
     _make_masks,
-    _wavefront_step,
     expand_runs_to_cigar,
-    pack_quads,
 )
 
 _C_M, _C_I1, _C_D1, _C_I2, _C_D2 = 0, 1, 2, 3, 4
 _COMPS = ("m", "i1", "d1", "i2", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Mismatch-bitmap extension index
+# ---------------------------------------------------------------------------
+#
+# The wavefront's greedy match-run extension is, per score level, a
+# data-dependent loop of random-access reads q[v] / t[h] at per-diagonal
+# offsets. XLA lowers such batched gathers to ~1 element/cycle serial
+# code on TPU (measured ~10 ns/element), and the loop runs until the
+# LONGEST run in the batch finishes — on low-divergence 100 kb pairs
+# that was ~44 dependent gathers per score level and ~56 s per 256-score
+# segment. The fix: precompute, once per group,
+#
+#   mmw[b, c, w]  (B, K, L/32) uint32 — bit h%32 of word h//32 set iff
+#                 extension must STOP at target offset h on band
+#                 diagonal c (mismatch, or q/t exhausted);
+#   nxw[b, c, w]  int32 — smallest w' >= w with mmw[b, c, w'] != 0
+#                 (suffix scan; L/32 where none).
+#
+# Extension then needs a FIXED three gathers per score level, with no
+# data-dependent loop: the current word (masked below h), the next
+# mismatch word index, and that word — first-set-bit arithmetic does the
+# rest. Bit-for-bit identical offsets to the quad-packed loop in
+# batch._extend (both stop at min(first mismatch, h_max)).
+
+
+@functools.partial(jax.jit, static_argnames=("k_width",))
+def build_mismatch_index(qs, ts, qlens, tlens, k0, k_width: int):
+    """Precompute (mmw, nxw) for a padded batch. qs/ts: (B, L) uint8,
+    k0: (B,) int32 band origin; diagonals c cover k = k0 + c."""
+    B, L = qs.shape
+    K = k_width
+    LW = L // 32
+    # qk0[b, i] = q[b, i - k0[b]]  (zero fill; validity handled by masks)
+    # q_sh[b, j] = q[b, j - K - k0[b]] over j in [0, L+K): diagonal c's
+    # read qc[h] = q[h - k0 - c] = q_sh[h + K - c] stays in range for
+    # every h in [0, L) and c in [0, K) (out-of-range v is masked below)
+    pos_ext = (
+        jnp.arange(L + K, dtype=jnp.int32)[None, :] - K - k0[:, None]
+    )
+    q_sh = jnp.take_along_axis(
+        jnp.pad(qs, ((0, 0), (0, 1))),  # row sentinel for clipped reads
+        jnp.clip(pos_ext, 0, L),
+        axis=1,
+    )
+    v0 = jnp.arange(L, dtype=jnp.int32)[None, :] - k0[:, None]
+    h_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    bitw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+
+    def one_diag(c):
+        qc = jax.lax.dynamic_slice_in_dim(q_sh, K - c, L, axis=1)
+        v = v0 - c
+        stop = (
+            (v < 0)
+            | (v >= qlens[:, None])
+            | (h_idx >= tlens[:, None])
+            | (qc != ts)
+        )
+        words = jnp.sum(
+            jnp.where(stop.reshape(B, LW, 32), bitw, jnp.uint32(0)),
+            axis=2,
+            dtype=jnp.uint32,
+        )
+        return words  # (B, LW)
+
+    mmw = jax.lax.map(one_diag, jnp.arange(K, dtype=jnp.int32))  # (K, B, LW)
+    mmw = jnp.transpose(mmw, (1, 0, 2))  # (B, K, LW)
+    warange = jnp.arange(LW, dtype=jnp.int32)[None, None, :]
+    cand = jnp.where(mmw != 0, warange, jnp.int32(LW))
+    nxw = jax.lax.cummin(cand, axis=2, reverse=True)
+    return mmw, nxw
+
+
+def _extend_bm(h, h_max, mmw, nxw, l_pad):
+    """Bitmap-index extension: h (B, K) offsets -> extended offsets.
+    Fixed three gathers, no data-dependent loop. Matches batch._extend
+    exactly: lanes with NULL or h > h_max pass through unchanged."""
+    LW = l_pad // 32
+    ok = (h > NULL) & (h <= h_max)
+    hc = jnp.clip(h, 0, l_pad - 1)
+    w0 = hc >> 5
+    r = (hc & 31).astype(jnp.uint32)
+    word0 = jnp.take_along_axis(mmw, w0[:, :, None], axis=2)[:, :, 0]
+    m0 = word0 & (jnp.uint32(0xFFFFFFFF) << r)
+    have0 = m0 != 0
+
+    def ctz(x):
+        return jax.lax.population_count((x & (~x + jnp.uint32(1))) - jnp.uint32(1))
+
+    w1 = jnp.take_along_axis(
+        nxw, jnp.minimum(w0 + 1, LW - 1)[:, :, None], axis=2
+    )[:, :, 0]
+    w1c = jnp.clip(w1, 0, LW - 1)
+    word1 = jnp.take_along_axis(mmw, w1c[:, :, None], axis=2)[:, :, 0]
+    pos0 = (w0 << 5) + ctz(m0).astype(jnp.int32)
+    pos1 = (w1c << 5) + ctz(word1).astype(jnp.int32)
+    have1 = (w1 < LW) & (w1 > w0) & (word1 != 0)
+    pos = jnp.where(have0, pos0, jnp.where(have1, pos1, jnp.int32(l_pad)))
+    return jnp.where(ok, jnp.minimum(pos, h_max), h)
+
+
+def _wf_step_bm(pen: Penalties, s, buf, ks, h_max, mmw, nxw, l_pad):
+    """_wavefront_step with bitmap extension (transitions identical)."""
+    from .batch import _shift_left, _shift_right
+
+    D = buf["m"].shape[0]
+
+    def src(comp, ds):
+        idx = jnp.mod(s - ds, D)
+        plane = jax.lax.dynamic_index_in_dim(buf[comp], idx, axis=0, keepdims=False)
+        return jnp.where(s >= ds, plane, NULL)
+
+    trim = lambda a: jnp.where(a > h_max, NULL, a)
+    i1_src = jnp.maximum(
+        _shift_right(src("m", pen.o1 + pen.e1)), _shift_right(src("i1", pen.e1))
+    )
+    i1 = trim(jnp.where(i1_src > NULL, i1_src + 1, NULL))
+    d1 = trim(
+        jnp.maximum(
+            _shift_left(src("m", pen.o1 + pen.e1)), _shift_left(src("d1", pen.e1))
+        )
+    )
+    best = jnp.maximum(i1, d1)
+    if pen.two_piece:
+        i2_src = jnp.maximum(
+            _shift_right(src("m", pen.o2 + pen.e2)), _shift_right(src("i2", pen.e2))
+        )
+        i2 = trim(jnp.where(i2_src > NULL, i2_src + 1, NULL))
+        d2 = trim(
+            jnp.maximum(
+                _shift_left(src("m", pen.o2 + pen.e2)), _shift_left(src("d2", pen.e2))
+            )
+        )
+        best = jnp.maximum(best, jnp.maximum(i2, d2))
+    else:
+        i2 = jnp.full_like(i1, NULL)
+        d2 = jnp.full_like(i1, NULL)
+    mis = src("m", pen.x)
+    mis = trim(jnp.where(mis > NULL, mis + 1, NULL))
+    m_pre = jnp.maximum(best, mis)
+    m = _extend_bm(m_pre, h_max, mmw, nxw, l_pad)
+    m = trim(m)
+    return m, i1, d1, i2, d2
 
 
 # ---------------------------------------------------------------------------
@@ -65,37 +206,38 @@ _COMPS = ("m", "i1", "d1", "i2", "d2")
 
 @functools.partial(jax.jit, static_argnames=("pen", "k_width"))
 def wf_init(qs, ts, qlens, tlens, pen: Penalties, k_width: int):
-    """Score-0 state: q4/t4 packs, band geometry, the rolling buffer with
-    M[0] extended, and done/scores after score 0."""
-    B = qs.shape[0]
+    """Score-0 state: mismatch-bitmap extension index, band geometry,
+    the rolling buffer with M[0] extended, and done/scores after
+    score 0."""
+    B, L = qs.shape
     K = k_width
     D = pen.max_lookback + 1
-    q4 = pack_quads(qs)
-    t4 = pack_quads(ts)
     k_end, k0 = _band_geometry(qlens, tlens, K)
     ks, h_max = _make_masks(qlens, tlens, k0, K)
     c_end = jnp.clip(k_end - k0, 0, K - 1).astype(jnp.int32)
     feasible = jnp.abs(k_end) <= (K - 1)
+
+    mmw, nxw = build_mismatch_index(qs, ts, qlens, tlens, k0, K)
 
     buf = {c: jnp.full((D, B, K), NULL, dtype=jnp.int32) for c in _COMPS}
     c_zero = (-k0).astype(jnp.int32)
     m0 = jnp.where(
         jnp.arange(K, dtype=jnp.int32)[None, :] == c_zero[:, None], 0, NULL
     ).astype(jnp.int32)
-    m0 = _extend(m0, ks, h_max, q4, t4)
+    m0 = _extend_bm(m0, h_max, mmw, nxw, L)
     m0 = jnp.where(m0 > h_max, NULL, m0)
     buf["m"] = buf["m"].at[0].set(m0)
 
     at_end0 = jnp.take_along_axis(m0, c_end[:, None], axis=1)[:, 0]
     done0 = (at_end0 == tlens) & feasible
     scores0 = jnp.where(done0, 0, -1).astype(jnp.int32)
-    return q4, t4, ks, h_max, c_end, feasible, buf, done0, scores0
+    return mmw, nxw, ks, h_max, c_end, feasible, buf, done0, scores0
 
 
 @functools.partial(jax.jit, static_argnames=("pen", "n_steps", "with_history"))
 def wf_span(
-    q4,
-    t4,
+    mmw,
+    nxw,
     ks,
     h_max,
     c_end,
@@ -113,11 +255,12 @@ def wf_span(
     (buf, done, scores, hist|None); hist planes are (n_steps, B, K) per
     component, row j holding score s_lo + j + 1."""
     D = buf["m"].shape[0]
+    l_pad = mmw.shape[2] * 32
 
     def step(carry, j):
         buf, done, scores = carry
         s = s_lo + j + 1
-        m, i1, d1, i2, d2 = _wavefront_step(pen, s, buf, ks, h_max, q4, t4)
+        m, i1, d1, i2, d2 = _wf_step_bm(pen, s, buf, ks, h_max, mmw, nxw, l_pad)
         slot = jnp.mod(s, D)
         buf = {
             "m": buf["m"].at[slot].set(m),
@@ -148,8 +291,8 @@ def wf_span(
     jax.jit, static_argnames=("pen", "n_steps", "run_cap")
 )
 def wf_replay_traceback(
-    q4,
-    t4,
+    mmw,
+    nxw,
     ks,
     h_max,
     tlens,
@@ -182,8 +325,8 @@ def wf_replay_traceback(
     c_end_dummy = jnp.zeros((B,), jnp.int32)
     feas_dummy = jnp.zeros((B,), jnp.bool_)
     _, _, _, hist = wf_span(
-        q4,
-        t4,
+        mmw,
+        nxw,
         ks,
         h_max,
         c_end_dummy,
@@ -471,11 +614,16 @@ class WavefrontSegmentedAligner:
                 for i in idxs:
                     results[i] = self.DENSE_FALLBACK
                 continue
-            # batch size from the memory budget: checkpoints dominate
+            # batch size from the memory budget: checkpoints + the
+            # mismatch-bitmap extension index (2 u32 planes of l_pad/32
+            # words per band diagonal)
             D = self.pen.max_lookback + 1
             C = cfg.ckpt_every
             n_seg = s_cap // C
-            per_pair = 4 * 5 * k * (n_seg * D + 2 * C + D)
+            l_est = self._next_pow2(
+                max(max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs), 4)
+            )
+            per_pair = 4 * 5 * k * (n_seg * D + 2 * C + D) + k * l_est // 4
             bsz = int(max(1, min(cfg.budget_bytes // per_pair, cfg.max_batch)))
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
             for lo in range(0, len(idxs), bsz):
@@ -508,7 +656,7 @@ class WavefrontSegmentedAligner:
         qs, ts = jnp.asarray(qs), jnp.asarray(ts)
         qlens_d, tlens_d = jnp.asarray(qlens), jnp.asarray(tlens)
 
-        q4, t4, ks, h_max, c_end, feasible, buf, done, scores = wf_init(
+        mmw, nxw, ks, h_max, c_end, feasible, buf, done, scores = wf_init(
             qs, ts, qlens_d, tlens_d, self.pen, k
         )
 
@@ -521,8 +669,8 @@ class WavefrontSegmentedAligner:
                 top_seg = seg
                 break
             buf, done, scores, _ = wf_span(
-                q4,
-                t4,
+                mmw,
+                nxw,
                 ks,
                 h_max,
                 c_end,
@@ -595,8 +743,8 @@ class WavefrontSegmentedAligner:
         top = max(1, min(top_seg, len(ckpts) - 1))
         for seg in range(top - 1, -1, -1):
             walk, bufs = wf_replay_traceback(
-                q4,
-                t4,
+                mmw,
+                nxw,
                 ks,
                 h_max,
                 tlens_d,

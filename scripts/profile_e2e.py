@@ -4,6 +4,9 @@ Times orientation, device dispatch enqueue, collect (blocking transfer),
 and host-side record emit separately by instrumenting the pipeline.
 """
 
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 from collections import defaultdict
 
