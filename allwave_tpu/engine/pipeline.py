@@ -230,6 +230,15 @@ class AllPairAligner:
             out.append(not (fd <= rd))
         return out
 
+    def _orient_all(self):
+        """Orientation for the ENTIRE run in one shot (mash mode): one
+        decision-matrix pass, ONE sequence pool shared by every chunk —
+        the engine's device-pool cache then uploads it once per run
+        instead of once per chunk. Falls back to per-chunk work for the
+        WFA-orientation mode (its both-strand alignments would
+        materialize every CIGAR at once)."""
+        return self._orient_chunk(self.pairs)
+
     # -- main loop ----------------------------------------------------------
 
     def for_each_with_callback(
@@ -238,53 +247,98 @@ class AllPairAligner:
         pen = resolve_penalties(self.params)
         eng = UnifiedAligner(pen, wavefront_config=self.engine_config)
         pairs = self.pairs
-        for lo in range(0, pairs.shape[0], self.chunk_size):
-            chunk = pairs[lo : lo + self.chunk_size]
-            pool_seqs, qidx, tidx, revs, sigma_hint = self._orient_chunk(chunk)
-            aligned, stats = eng.align_pairs_indexed(
-                pool_seqs,
-                qidx,
-                tidx,
-                with_stats=True,
-                sigma_hint=sigma_hint,
-                as_runs=True,
+        run_wide = self.use_mash_orientation and pairs.shape[0] > 0
+        if run_wide:
+            pool_seqs_all, qidx_all, tidx_all, revs_all, sigma_all = (
+                self._orient_all()
             )
-            # one C-level conversion for the whole chunk instead of
-            # 6 scalar int() calls per record; AlignmentResult is built
-            # inline via __new__ + slot stores — the _result_from_cigar
-            # wrapper costs ~6 us/record in call+branch overhead alone,
-            # which dominates a 16k-pair chunk on a 1-core host
-            chunk_l = chunk.tolist()
-            stats_l = stats.tolist()
-            revs_l = revs.tolist()
-            AR = AlignmentResult
-            new = AR.__new__
-            for (i, j), is_rev, res, st in zip(chunk_l, revs_l, aligned, stats_l):
-                if res is None:
-                    result = AR.failed(i, j, is_rev)
+
+        # the emit loop is pure host Python (~5-10 us/record); running it
+        # on a worker thread overlaps it with the NEXT chunk's device
+        # dispatch + transfer waits (which release the GIL) — on a
+        # 1-core host this hides most of the emit cost. At most one
+        # chunk's emit is in flight; errors re-raise in the main thread.
+        from concurrent.futures import ThreadPoolExecutor
+
+        emit_fut = None
+
+        def _wait_emit():
+            nonlocal emit_fut
+            if emit_fut is not None:
+                f, emit_fut = emit_fut, None
+                f.result()
+
+        ex = ThreadPoolExecutor(1)
+        try:
+            for lo in range(0, pairs.shape[0], self.chunk_size):
+                chunk = pairs[lo : lo + self.chunk_size]
+                if run_wide:
+                    sl = slice(lo, lo + chunk.shape[0])
+                    pool_seqs, qidx, tidx, revs, sigma_hint = (
+                        pool_seqs_all,
+                        qidx_all[sl],
+                        tidx_all[sl],
+                        revs_all[sl],
+                        sigma_all[sl] if sigma_all is not None else None,
+                    )
                 else:
-                    r = new(AR)
-                    r.query_idx = i
-                    r.target_idx = j
-                    r.query_start = 0
-                    r.target_start = 0
-                    r.is_reverse = is_rev
-                    r.score = res[0]
-                    cigar = res[1]
-                    (
-                        r.num_matches,
-                        r.alignment_length,
-                        r.query_end,
-                        r.target_end,
-                    ) = st
-                    if type(cigar) is tuple:
-                        r._cigar_bytes = None
-                        r._cigar_runs = cigar
-                    else:
-                        r._cigar_bytes = cigar
-                        r._cigar_runs = None
-                    result = r
-                callback(result)
+                    pool_seqs, qidx, tidx, revs, sigma_hint = (
+                        self._orient_chunk(chunk)
+                    )
+                aligned, stats = eng.align_pairs_indexed(
+                    pool_seqs,
+                    qidx,
+                    tidx,
+                    with_stats=True,
+                    sigma_hint=sigma_hint,
+                    as_runs=True,
+                )
+                _wait_emit()
+                emit_fut = ex.submit(
+                    self._emit_chunk, callback, chunk, revs, aligned, stats
+                )
+            _wait_emit()
+        finally:
+            ex.shutdown(wait=True)
+
+    @staticmethod
+    def _emit_chunk(callback, chunk, revs, aligned, stats) -> None:
+        # one C-level conversion for the whole chunk instead of
+        # 6 scalar int() calls per record; AlignmentResult is built
+        # inline via __new__ + slot stores — the _result_from_cigar
+        # wrapper costs ~6 us/record in call+branch overhead alone,
+        # which dominates a 16k-pair chunk on a 1-core host
+        chunk_l = chunk.tolist()
+        stats_l = stats.tolist()
+        revs_l = revs.tolist()
+        AR = AlignmentResult
+        new = AR.__new__
+        for (i, j), is_rev, res, st in zip(chunk_l, revs_l, aligned, stats_l):
+            if res is None:
+                result = AR.failed(i, j, is_rev)
+            else:
+                r = new(AR)
+                r.query_idx = i
+                r.target_idx = j
+                r.query_start = 0
+                r.target_start = 0
+                r.is_reverse = is_rev
+                r.score = res[0]
+                cigar = res[1]
+                (
+                    r.num_matches,
+                    r.alignment_length,
+                    r.query_end,
+                    r.target_end,
+                ) = st
+                if type(cigar) is tuple:
+                    r._cigar_bytes = None
+                    r._cigar_runs = cigar
+                else:
+                    r._cigar_bytes = cigar
+                    r._cigar_runs = None
+                result = r
+            callback(result)
 
     def __iter__(self):
         """Sequential pull-based iteration (reference: iterator.rs:151-171).

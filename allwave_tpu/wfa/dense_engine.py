@@ -153,6 +153,13 @@ class DenseBandAligner:
             self.config.k_max,
         )
 
+    #: (id(pool_seqs), l_pad) -> (pool_seqs ref, device pool) — the
+    #: streaming pipeline hands the SAME pool list to every chunk/bucket
+    #: call, so the upload happens once per run instead of once per
+    #: call (each upload costs pool-bytes over the ~40 MB/s tunnel).
+    #: The strong list ref keeps the id() from being recycled.
+    _POOL_CACHE: Dict[Tuple[int, int], Tuple[object, object]] = {}
+
     def _build_pool_indexed(
         self, pool_seqs, qidx: np.ndarray, tidx: np.ndarray, l_pad: int
     ):
@@ -160,26 +167,36 @@ class DenseBandAligner:
         indices: all-pairs workloads reference each sequence ~2(n-1)
         times, so this sends kilobytes over the ~40 MB/s driver tunnel
         instead of megabytes of duplicated rows, and every dispatch
-        group of the call shares the same upload. Only rows actually
-        referenced by (qidx, tidx) are materialized (callers may hand
-        in a shared whole-run pool)."""
+        group of the call shares the same upload. The full pool is
+        materialized and cached by (list identity, l_pad), so repeated
+        calls with the same pool (the pipeline's chunks and length
+        buckets) skip the upload entirely."""
         import jax.numpy as jnp
 
-        used = np.unique(np.concatenate([qidx, tidx]))
-        remap = np.zeros(
-            int(used.max()) + 1 if used.size else 1, dtype=np.int32
-        )
-        remap[used] = np.arange(used.size, dtype=np.int32)
-        p_pad = self._next_pow2(max(int(used.size), 1))
-        pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
-        for r, src in enumerate(used.tolist()):
-            sq = pool_seqs[src]
-            pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
         qlens_all, tlens_all = self._lens
+        key = (id(pool_seqs), l_pad)
+        hit = self._POOL_CACHE.get(key)
+        if hit is not None and hit[0] is pool_seqs:
+            return (
+                hit[1],
+                qidx.astype(np.int32),
+                tidx.astype(np.int32),
+                qlens_all.astype(np.int32),
+                tlens_all.astype(np.int32),
+            )
+        p_pad = self._next_pow2(max(len(pool_seqs), 1))
+        pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
+        for r, sq in enumerate(pool_seqs):
+            if len(sq) <= l_pad:
+                pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
+        pool_dev = jnp.asarray(pool)
+        if len(self._POOL_CACHE) > 4:
+            self._POOL_CACHE.clear()
+        self._POOL_CACHE[key] = (pool_seqs, pool_dev)
         return (
-            jnp.asarray(pool),
-            remap[qidx].astype(np.int32),
-            remap[tidx].astype(np.int32),
+            pool_dev,
+            qidx.astype(np.int32),
+            tidx.astype(np.int32),
             qlens_all.astype(np.int32),
             tlens_all.astype(np.int32),
         )
@@ -613,15 +630,22 @@ class DenseBandAligner:
                 # contract, same guard as segmented.py)
             else:
                 kend_abs = abs(int(self._lens[1][i] - self._lens[0][i]))
+                # strict widening = the next LADDER rung (doubling can
+                # overshoot k_max and drop a pair the next rung would
+                # certify); at the top rung the pair fails for good
+                nup = self._round_k(k + 1)
+                if nup <= k:
+                    continue
                 if scores[j] < D_.INF:
                     nk = self._k_for_score(int(scores[j]), kend_abs)
-                    nk = max(nk, 2 * k)  # always strictly widen
+                    nk = max(nk, nup)
                 else:
-                    nk = 2 * k
+                    # no banded score to size from: jump ~2x, on-ladder
+                    nk = max(self._round_k(2 * k), nup)
                 k_full = self._round_k(
                     int(self._lens[0][i] + self._lens[1][i]) + 1
                 )
-                nk = min(nk, max(k_full, 2 * k))
+                nk = min(nk, max(k_full, nup))
                 escalate.append((i, (nk, run_cap)))
         return escalate
 

@@ -49,8 +49,10 @@ from .batch import expand_runs_to_cigar
 
 #: widest band the Pallas REPLAY kernel (dense_span_pallas) may take:
 #: its two streamed u8 choice planes + five band in/out/scratch copies
-#: exceed the 16 MB scoped-VMEM limit at K = 16384 (measured: 17.99 MB)
-K_MAX_SPAN_PALLAS = 8192
+#: exceed the 16 MB scoped-VMEM limit at K = 16384 (measured: 17.99 MB);
+#: K = 12288 (the next ladder rung down) fits at ~13.5 MB — measured
+#: working on v5e, and ~2.5x faster than the XLA span it displaces
+K_MAX_SPAN_PALLAS = 12288
 
 _OP_M = ord("M")
 _OP_X = ord("X")
@@ -645,14 +647,22 @@ class SegmentedDenseAligner:
         for j, i in enumerate(group):
             if not cert[j]:
                 kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                # strict widening = the next LADDER rung, not 2*k: with a
+                # known banded score, k_for_score may land exactly one
+                # rung up, and doubling instead can overshoot k_max and
+                # drop a pair the next rung would have certified
+                nup = self._round_k(k + 1)
+                if nup <= k:  # already at the widest rung: failed pair
+                    continue
                 if scores[j] < INF:
-                    nk = max(self._k_for_score(int(scores[j]), kend_abs), 2 * k)
+                    nk = max(self._k_for_score(int(scores[j]), kend_abs), nup)
                 else:
-                    nk = 2 * k
+                    # no banded score to size from: jump ~2x, on-ladder
+                    nk = max(self._round_k(2 * k), nup)
                 k_full = self._round_k(
                     len(pairs[i][0]) + len(pairs[i][1]) + 1
                 )
-                nk = min(nk, max(k_full, 2 * k))
+                nk = min(nk, max(k_full, nup))
                 escalate.append((i, (nk, run_cap)))
             else:
                 any_good = True

@@ -599,6 +599,15 @@ class WavefrontSegmentedAligner:
                 # round key and batch together instead of dispatching
                 # in fragments.
                 ki = self._k_for_score(si // 2, kend_abs)
+                # certifying the HINTED score itself needs
+                # _k_for_score(hint); if even that exceeds the band
+                # ceiling, the sweep is guaranteed to end in a
+                # cert-failure escalation -> fallback, so skip the
+                # whole sweep (a 2%-divergence 100 kb pair otherwise
+                # burns the full s_cap sweep before conceding)
+                if self._k_for_score(hint, kend_abs) > cfg.k_max:
+                    results[i] = self.DENSE_FALLBACK
+                    continue
             else:
                 ki = self._round_k(max(cfg.k_initial, kend_abs + 2))
                 si = self._round_up_seg(cfg.s_cap_initial)
