@@ -219,3 +219,33 @@ def test_full_cover_band_certifies():
     from allwave_tpu.core.cigar import validate_cigar
 
     validate_cigar(res[1], q, t)
+
+
+def test_escalation_steps_to_next_ladder_rung():
+    """A cert-failure escalation whose certified band is exactly one
+    ladder rung up must step to that rung, not double past k_max and
+    drop the pair (regression: a 2%-divergence 100 kb pair failed cert
+    at K=12288, and 2*K=24576 > k_max skipped the 16384 rung that
+    certifies it)."""
+    import numpy as np
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.wfa.dense_engine import DenseBandAligner, DenseConfig
+    from allwave_tpu.wfa.params import resolve_penalties
+    from allwave_tpu.core.cigar import validate_cigar
+
+    rng = np.random.RandomState(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    q = rng.choice(bases, 300).tobytes()
+    t = rng.choice(bases, 300).tobytes()  # unrelated: banded score ~L*x
+    pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
+    # start at rung 512; the only rung that can certify is 768 (=k_max);
+    # the old 2*k rule jumped 512 -> 1024 > k_max and returned None
+    al = DenseBandAligner(
+        pen, DenseConfig(impl="xla", k_initial=512, k_max=768)
+    )
+    (res,) = al.align_pairs([(q, t)])
+    assert res is not None, "pair dropped by escalation overshoot"
+    validate_cigar(res[1], q, t)
+    ref = DenseBandAligner(pen, DenseConfig(impl="xla")).align_pairs([(q, t)])[0]
+    assert res[0] == ref[0]
+    np.testing.assert_array_equal(res[1], ref[1])
