@@ -110,8 +110,9 @@ def sharded_dense_step(
 
     Built with shard_map so the per-shard body can be the Pallas kernel
     (GSPMD cannot partition a pallas_call). Returns
-    fn(pool, qidx, tidx, qlens, tlens) -> packed (B, 16+2*run_cap) u8
-    with the dense_align_packed row layout.
+    fn(pool, qidx, tidx, qlens, tlens) -> packed
+    (B, 32 + ceil(run_cap/4) + run_cap) u8 rows in the
+    dense_align_packed layout (meta | 2-bit-packed ops | lens).
 
     The batch size need NOT divide the mesh's "data" axis: the wrapper
     pads the index/length arrays to a multiple of it (padded rows point

@@ -417,7 +417,30 @@ def dense_align_packed(
         axis=1,
     )  # (B, 8) int32
     meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(B, 32)
-    return jnp.concatenate([meta_u8, ops, lens], axis=1)
+    # ops are 2 bits of information (M/X/I/D): pack 4 per byte before
+    # the device->host fetch — the driver tunnel runs at only a few
+    # MB/s with a ~25-60 ms fixed cost per transfer, so collect bytes
+    # are a first-order throughput term. Layout:
+    #   [meta 32B | ops 2-bit-packed ceil(cap/4)B | lens capB]
+    # (host unpack: dense_engine._OPS_UNPACK_LUT).
+    if run_cap_n % 4:
+        ops = jnp.pad(ops, ((0, 0), (0, 4 - run_cap_n % 4)))
+    code = jnp.where(
+        ops == _OP_M,
+        jnp.uint8(0),
+        jnp.where(
+            ops == _OP_X,
+            jnp.uint8(1),
+            jnp.where(ops == _OP_I, jnp.uint8(2), jnp.uint8(3)),
+        ),
+    )
+    ops_packed = (
+        code[:, 0::4]
+        | (code[:, 1::4] << 2)
+        | (code[:, 2::4] << 4)
+        | (code[:, 3::4] << 6)
+    )
+    return jnp.concatenate([meta_u8, ops_packed, lens], axis=1)
 
 
 @functools.partial(

@@ -50,6 +50,13 @@ class DenseConfig:
 #: below a size bound — see align_pairs_indexed
 _COMPILED_SHAPES: set = set()
 
+#: byte -> 4 WFA2 op chars, inverting dense_align_packed's 2-bit op
+#: packing (code 0=M, 1=X, 2=I, 3=D; little-endian within the byte)
+_OPS_UNPACK_LUT = np.empty((256, 4), np.uint8)
+for _b in range(256):
+    for _j in range(4):
+        _OPS_UNPACK_LUT[_b, _j] = b"MXID"[(_b >> (2 * _j)) & 3]
+
 
 def _auto_impl() -> str:
     env = os.environ.get("ALLWAVE_DENSE_IMPL")
@@ -591,8 +598,12 @@ class DenseBandAligner:
             packed = np.asarray(device_buf)
         meta = packed[:, :32].copy().view(np.int32).reshape(-1, 8)
         scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
-        ops = packed[:, 32 : 32 + run_cap]
-        lens = packed[:, 32 + run_cap :]
+        cap4 = (run_cap + 3) // 4
+        B_rows = packed.shape[0]
+        ops = _OPS_UNPACK_LUT[packed[:, 32 : 32 + cap4]].reshape(
+            B_rows, 4 * cap4
+        )[:, :run_cap]
+        lens = packed[:, 32 + cap4 :]
         good = (cert == 1) & (overflow == 0)
         full_cap = 2 * l_pad + 8
 
