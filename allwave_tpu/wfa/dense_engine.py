@@ -287,7 +287,9 @@ class DenseBandAligner:
 
                 if self.impl != "pallas":
                     raise
-                if not P._T_DISABLED:
+                if not (P._T2_DISABLED or P._T_DISABLED):
+                    P.disable_t2()
+                elif not P._T_DISABLED:
                     P.disable_transposed()
                 else:
                     self.impl = "xla"
@@ -380,22 +382,73 @@ class DenseBandAligner:
                 if larger:
                     rounds[min(larger)].extend(rounds.pop(key))
 
-        # software pipeline with a DEPTH-2 in-flight queue carried
-        # ACROSS band rounds: up to three groups are enqueued on the
-        # device before the first collect blocks, so every tunnel
-        # round trip except the last overlaps device compute
-        # (explicit copy_to_host_async measured SLOWER over the axon
-        # tunnel — the plain queue is the win)
-        from collections import deque
+        # dispatch ALL known rounds first, then drain with ONE
+        # device->host transfer per distinct buffer width: over the
+        # driver tunnel a blocking fetch costs ~23 ms fixed latency and
+        # small transfers run at half the bandwidth of large ones, so
+        # per-group fetches were the dominant e2e cost (4 groups: ~210
+        # ms of fetch for ~26 ms of kernel compute). Group buffers are
+        # concatenated on device (an enqueue costs ~0.2 ms) and fetched
+        # in one transfer; escalations refill `rounds` for the next
+        # dispatch wave.
+        # (sub-groups, device_buf, k, cap): buf holds len(groups)
+        # blocks of buf.shape[0]//len(groups) rows, group-major
+        inflight: List[tuple] = []
 
-        inflight = deque()  # (group, device_buf, k, cap)
+        def _drain_all():
+            import jax.numpy as jnp
 
-        def _drain_one():
-            g, buf, kk, cc = inflight.popleft()
-            for i, key in self._collect_group(
-                g, buf, results, stats, kk, cc, l_pad
-            ):
-                rounds.setdefault(key, []).append(i)
+            from ..utils.telemetry import timed_dispatch
+
+            if not inflight:
+                return
+            by_width: Dict[int, List[tuple]] = {}
+            for item in inflight:
+                by_width.setdefault(int(item[1].shape[1]), []).append(item)
+            inflight.clear()
+            prof = os.environ.get("ALLWAVE_PROFILE_DRAIN") == "1"
+            for items in by_width.values():
+                npairs = sum(len(g) for it in items for g in it[0])
+                cells = sum(
+                    len(g) * 2 * l_pad * it[2]
+                    for it in items
+                    for g in it[0]
+                )
+                with timed_dispatch(npairs, cells):
+                    if len(items) == 1:
+                        dev = items[0][1]
+                    else:
+                        dev = jnp.concatenate(
+                            [it[1] for it in items], axis=0
+                        )
+                    if prof:
+                        import sys as _sys
+                        import time as _time
+
+                        t0 = _time.perf_counter()
+                        dev.block_until_ready()
+                        t1 = _time.perf_counter()
+                        flat = np.asarray(dev)
+                        t2 = _time.perf_counter()
+                        print(
+                            f"[drain] {npairs} pairs {dev.nbytes/1e6:.2f} MB"
+                            f" compute+sync {1e3*(t1-t0):.1f} ms"
+                            f" xfer {1e3*(t2-t1):.1f} ms",
+                            file=_sys.stderr,
+                        )
+                    else:
+                        flat = np.asarray(dev)
+                off = 0
+                for groups_, buf, kk, cc in items:
+                    rows = buf.shape[0]
+                    blk = rows // len(groups_)
+                    for gi, g in enumerate(groups_):
+                        pk = flat[off + gi * blk : off + (gi + 1) * blk]
+                        for i, key in self._collect_group(
+                            g, pk, results, stats, kk, cc, l_pad
+                        ):
+                            rounds.setdefault(key, []).append(i)
+                    off += rows
 
         # tiny rounds (escalations, hint-stragglers) run on the native
         # C++ oracle instead of the device: a fresh (K, B) kernel shape
@@ -468,7 +521,7 @@ class DenseBandAligner:
 
         while rounds or inflight:
             if not rounds:
-                _drain_one()
+                _drain_all()
                 continue
             k, cap = min(rounds)
             idxs = rounds.pop((k, cap))
@@ -501,10 +554,17 @@ class DenseBandAligner:
                     self._next_pow2(min(len(idxs), bsz)),
                 ),
             )
-            cold = (
-                self._shape_key(k, cap, l_pad, first_pad)
-                not in _COMPILED_SHAPES
-            )
+            g_est = -(-len(idxs) // bsz)
+            if g_est > 1 and not self._use_mesh():
+                cold = (
+                    self._shape_key(k, cap, l_pad, bsz, g_est)
+                    not in _COMPILED_SHAPES
+                )
+            else:
+                cold = (
+                    self._shape_key(k, cap, l_pad, first_pad)
+                    not in _COMPILED_SHAPES
+                )
             limit = 0 if (k, cap) in initial_keys else native_max
             if cold:
                 limit = max(limit, native_cold)
@@ -527,25 +587,74 @@ class DenseBandAligner:
             idxs = ia[
                 np.argsort(qlens_all[ia] + tlens_all[ia], kind="stable")
             ].tolist()
-            for lo in range(0, len(idxs), bsz):
-                group = idxs[lo : lo + bsz]
-                dispatched = self._dispatch_group(group, k, cap, l_pad)
-                inflight.append((group, dispatched, k, cap))
-                while len(inflight) > 2:
-                    _drain_one()
+            groups = [
+                idxs[lo : lo + bsz] for lo in range(0, len(idxs), bsz)
+            ]
+            if len(groups) > 1 and not self._use_mesh():
+                # one dispatch for the whole wave (lax.map over groups)
+                buf = self._dispatch_groups(groups, k, cap, l_pad, bsz)
+                inflight.append((groups, buf, k, cap))
+            else:
+                for group in groups:
+                    dispatched = self._dispatch_group(
+                        group, k, cap, l_pad
+                    )
+                    inflight.append(([group], dispatched, k, cap))
         return (results, stats) if with_stats else results
 
-    def _shape_key(self, k, run_cap, l_pad, b_pad):
+    def _shape_key(self, k, run_cap, l_pad, b_pad, g=1):
         """Executable identity for one dispatch: compiled code is keyed
         by these statics (jit caches are process-global, so the seen-set
-        is module-global too). Mirrors _dispatch_group's impl downgrade."""
+        is module-global too). Mirrors _dispatch_group's impl downgrade.
+        g > 1 identifies the lax.map wave executable (g sub-batches of
+        b_pad pairs in one dispatch)."""
         impl = self.impl
         if impl == "pallas":
             from .pallas_dense import K_MAX_C2
 
             if k > K_MAX_C2:
                 impl = "xla"
-        return (impl, self._use_mesh(), k, run_cap, l_pad, b_pad)
+        return (impl, self._use_mesh(), k, run_cap, l_pad, b_pad, g)
+
+    def _dispatch_groups(self, groups, k, run_cap, l_pad, bsz):
+        """Enqueue ONE dispatch covering len(groups) sub-batches of bsz
+        pairs each (dense.dense_align_packed_groups: lax.map reuses one
+        sub-batch's plane scratch across the wave); returns the
+        in-flight (G*bsz, W) device buffer. Short sub-groups pad with
+        pool-row-0/length-0 rows (same contract as _dispatch_group)."""
+        import jax.numpy as jnp
+
+        pool_dev, qidx, tidx, qlens, tlens = self._pool
+        G = len(groups)
+        _COMPILED_SHAPES.add(self._shape_key(k, run_cap, l_pad, bsz, G))
+        qi = np.zeros((G, bsz), np.int32)
+        ti = np.zeros((G, bsz), np.int32)
+        ql = np.zeros((G, bsz), np.int32)
+        tl = np.zeros((G, bsz), np.int32)
+        for gi, g in enumerate(groups):
+            a = np.asarray(g, dtype=np.int64)
+            qi[gi, : len(g)] = qidx[a]
+            ti[gi, : len(g)] = tidx[a]
+            ql[gi, : len(g)] = qlens[a]
+            tl[gi, : len(g)] = tlens[a]
+        impl = self.impl
+        if impl == "pallas":
+            from .pallas_dense import K_MAX_C2
+
+            if k > K_MAX_C2:
+                impl = "xla"
+        return D_.dense_align_packed_groups(
+            pool_dev,
+            jnp.asarray(qi),
+            jnp.asarray(ti),
+            jnp.asarray(ql),
+            jnp.asarray(tl),
+            self.pen,
+            k,
+            l_pad,
+            run_cap,
+            impl,
+        )
 
     def _dispatch_group(self, group, k, run_cap, l_pad):
         """Enqueue one fused forward+traceback dispatch (the sequence
@@ -588,14 +697,11 @@ class DenseBandAligner:
         )
 
     def _collect_group(
-        self, group, device_buf, results, stats, k, run_cap, l_pad
+        self, group, packed, results, stats, k, run_cap, l_pad
     ) -> List[Tuple[int, Tuple[int, int]]]:
-        """ONE device->host transfer; fills certified results and
+        """Host-side unpack of one group's packed result rows (already
+        fetched by the caller's _drain_all); fills certified results and
         returns [(pair_idx, (next_k, next_cap)), ...] for escalations."""
-        from ..utils.telemetry import timed_dispatch
-
-        with timed_dispatch(len(group), len(group) * 2 * l_pad * k):
-            packed = np.asarray(device_buf)
         meta = packed[:, :32].copy().view(np.int32).reshape(-1, 8)
         scores, nruns, cert, overflow = (meta[:, c] for c in range(4))
         cap4 = (run_cap + 3) // 4

@@ -146,8 +146,8 @@ def _kc_pad(k_width: int) -> int:
     return max(LANES, -(-(k_width // 2) // LANES) * LANES)
 
 
-def _precompute_streams_c2(qs, ts, qlens, tlens, k_width, l_pad):
-    """Stream precompute for the parity-compressed kernel.
+def _precompute_streams_c2(qs, ts, qlens, tlens, k_width, l_pad, kc=None):
+    """Stream precompute for the parity-compressed kernels.
 
     With k0 even-aligned (dense._band_geometry), the compressed lane c
     of parity p holds diagonal k = k0 + 2c + p, and the base-register
@@ -158,9 +158,13 @@ def _precompute_streams_c2(qs, ts, qlens, tlens, k_width, l_pad):
     per-parity base shifts at all.  The entering-byte streams are the
     raw padded sequences under a per-row circular shift (q for heads,
     t for tails) — no repeat-2, half the stream bytes of the
-    uncompressed layout."""
+    uncompressed layout.
+
+    kc overrides the compressed lane count: the lane-layout kernel pads
+    to >=128 lanes (_kc_pad), the TRANSPOSED compressed kernel uses
+    exactly K/2 sublane rows (sublane dims have no 128 rule)."""
     K = k_width
-    KC = _kc_pad(K)
+    KC = _kc_pad(K) if kc is None else kc
     L = qs.shape[1]  # l_pad_eff
     k_end, k0, slack = _band_geometry(qlens, tlens, K)
     h0 = k0 // 2  # exact: k0 is even
@@ -876,31 +880,66 @@ T_MAX_K = 2048
 T_TB = 128
 
 
-#: kill switch for the transposed kernel (env ALLWAVE_NO_TRANSPOSED=1,
-#: or flipped at runtime by DenseBandAligner's engine-fallback ladder
-#: if the kernel fails to compile/execute on the local accelerator)
+#: band-width ceiling for the TRANSPOSED PARITY-COMPRESSED kernel
+#: ("t2"): sublane rolls AND KC = K/2 band state at once (sublane dims
+#: have no 128-lane floor, so the parity saving reaches all the way
+#: down to K = 128, where the lane-compressed kernel cannot shrink).
+#: Measured on v5e the halved tick count does NOT pay for the extra
+#: per-tick ops (0.63-0.92x vs the plain transposed kernel), so t2 is
+#: an OPT-IN rung (ALLWAVE_T2=1) kept for TPU generations where the
+#: trade flips; it stays bit-exact vs every other engine.
+T2_MAX_K = 2048
+
+#: kill switches (env ALLWAVE_NO_TRANSPOSED=1, or flipped at runtime by
+#: DenseBandAligner's engine-fallback ladder if a kernel fails to
+#: compile/execute on the local accelerator).
+#: ALLWAVE_NO_TRANSPOSED disables BOTH transposed kernels.
 _T_DISABLED = os.environ.get("ALLWAVE_NO_TRANSPOSED") == "1"
+_T2_DISABLED = os.environ.get("ALLWAVE_T2") != "1"
 
 
 def disable_transposed() -> None:
-    """Route all future traces to the legacy kernels. Callers must
-    clear jit caches (jax.clear_caches()) so routing re-evaluates."""
+    """Route all future traces to the legacy (lane-layout) kernels.
+    Callers must clear jit caches (jax.clear_caches()) so routing
+    re-evaluates."""
     global _T_DISABLED
     _T_DISABLED = True
 
 
+def disable_t2() -> None:
+    """Route all future traces away from the compressed transposed
+    kernel (the plain transposed kernel still runs). Callers must
+    clear jit caches (jax.clear_caches()) so routing re-evaluates."""
+    global _T2_DISABLED
+    _T2_DISABLED = True
+
+
+def _route(k_width: int) -> str:
+    """Static kernel choice for a band width: 't2' (transposed +
+    parity-compressed), 't' (transposed), 'c2' (lane-layout
+    parity-compressed), or 'u' (classic full-width)."""
+    if k_width <= T2_MAX_K and not _T2_DISABLED and not _T_DISABLED:
+        return "t2"
+    if k_width <= T_MAX_K and not _T_DISABLED:
+        return "t"
+    if k_width >= C2_MIN_K:
+        return "c2"
+    return "u"
+
+
 def uses_transposed_planes(k_width: int) -> bool:
-    """True when dense_forward_pallas emits (d, K, B)-shaped choice
-    planes from the transposed kernel (callers pass transposed= to
+    """True when dense_forward_pallas emits band-axis-major choice
+    planes — (d, K, B) from the transposed kernel or (d, KC, B) from
+    the compressed transposed kernel (callers pass transposed= to
     dense_traceback accordingly)."""
-    return k_width <= T_MAX_K and not _T_DISABLED
+    return _route(k_width) in ("t", "t2")
 
 
 def uses_compressed_planes(k_width: int) -> bool:
     """True when dense_forward_pallas emits parity-compressed choice
     planes for this band width (callers pass compressed= to
     dense_traceback accordingly)."""
-    return k_width >= C2_MIN_K and not uses_transposed_planes(k_width)
+    return _route(k_width) in ("c2", "t2")
 
 
 def _tiles_for_t(k_width: int, l_pad: int):
@@ -1318,21 +1357,18 @@ def dense_forward_pallas(
 ):
     """Drop-in replacement for dense.dense_forward (same returns).
 
-    Statically routes by band width: K <= T_MAX_K runs the TRANSPOSED
-    kernel (diagonals on sublanes — sublane rolls are ~free on v5e;
-    planes (2*l_pad_eff, K, B), see uses_transposed_planes() and
-    dense_traceback(transposed=...)); wider bands run the
-    parity-COMPRESSED kernel whose planes are (.., B, ~K/2) — see
-    uses_compressed_planes() and dense_traceback(compressed=...)."""
-    if uses_transposed_planes(k_width):
-        return _forward_t(
-            qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret
-        )
-    if uses_compressed_planes(k_width):
-        return _forward_c2(
-            qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret
-        )
-    return _forward_u(
+    Statically routes by band width (_route): K <= T2_MAX_K runs the
+    TRANSPOSED PARITY-COMPRESSED kernel (diagonals on sublanes, KC =
+    K/2 band state; planes (2*l_pad_eff, KC, B), addressed with
+    dense_traceback(compressed=True, transposed=True)); the plain
+    transposed kernel is the first fallback rung; wider bands run the
+    lane-layout parity-COMPRESSED kernel whose planes are (.., B, ~K/2)
+    — see uses_compressed_planes()/uses_transposed_planes()."""
+    route = _route(k_width)
+    fwd = {"t2": _forward_t2, "t": _forward_t, "c2": _forward_c2, "u": _forward_u}[
+        route
+    ]
+    return fwd(
         qs, ts, qlens, tlens, pen, k_width, l_pad, with_choices, interpret
     )
 
@@ -1634,4 +1670,471 @@ def _forward_u(
     certificate = certificate[:B0]
     if with_choices:
         return scores, certificate, outs[1][:, :B0]
+    return scores, certificate, None
+
+
+# --------------------------------------------------------------------------
+# TRANSPOSED + PARITY-COMPRESSED kernel ("t2"): the two measured wins
+# combined. Diagonals ride the SUBLANE axis (k+-1 neighbour = ~free
+# sublane roll) AND same-parity diagonals pack into KC = K/2 sublane
+# rows — the lane-layout compressed kernel cannot shrink below 128
+# lanes, so its saving only appears at K >= 384; sublane dims have no
+# such floor, so at the pangenome-dominant K = 128 the band state is
+# (64, 128) tiles, half the VPU ops of the uncompressed transposed
+# kernel. Same arithmetic, same tie-breaks, planes (D2, KC, B) u16
+# (dense_traceback(compressed=True, transposed=True)).
+# --------------------------------------------------------------------------
+
+
+def _tiles_for_t2(kc: int, l_pad: int):
+    """(d_chunk,) for the t2 kernel: plane blocks are (d_chunk, KC,
+    T_TB) u16, bounded by the streaming VMEM budget."""
+    d = PLANE_BYTES_MAX // (T_TB * kc * 2)
+    d = 1 << max(d.bit_length() - 1, 0)
+    d = max(8, min(256, d))
+    d = min(d, max(2 * l_pad, 8))
+    return d
+
+
+def run_dp_chunk_t2(
+    qlens_ref,  # (1, TB)
+    tlens_ref,
+    k0_ref,
+    qheads_ref,  # (W, TB) stream window: one entry per step PAIR
+    ttails_ref,
+    choices_ref,  # (d_chunk, KC, TB) u16 out block
+    se_ref,  # (KC, TB) bands, diagonals on SUBLANES, one ref per parity
+    so_ref,
+    i1e_ref,
+    i1o_ref,
+    d1e_ref,
+    d1o_ref,
+    i2e_ref,
+    i2o_ref,
+    d2e_ref,
+    d2o_ref,
+    qb_ref,  # (W + KC, TB): rows [0:W] = reversed future heads, [W:] = live
+    tb_ref,  # (KC + W, TB): rows [0:KC] = live, [KC:] = future tails
+    rune_ref,
+    runo_ref,
+    *,
+    pen: Penalties,
+    k_width: int,
+    d_chunk: int,
+    with_choices: bool,
+    d_base,
+    stream_period: int,  # window rows per refill (covers 2*period steps)
+):
+    """Transposed twin of run_dp_chunk_c2: identical arithmetic and
+    tie-breaks; each iteration runs one odd step (updates the odd-parity
+    bands from the even) then one even step, every vector op on
+    half-width (KC, TB) operands with only one sublane roll per gap
+    side per step."""
+    KC = se_ref.shape[0]
+    TB = se_ref.shape[1]
+    K = k_width
+    W = stream_period
+
+    kline = jax.lax.broadcasted_iota(jnp.int32, (KC, TB), 0)
+    k0 = k0_ref[:1, :]
+    ks_e = k0 + 2 * kline
+    ks_o = ks_e + 1
+    q2 = 2 * qlens_ref[:1, :]
+    t2 = 2 * tlens_ref[:1, :]
+    inf = jnp.int32(INF)
+    tb_rows = tb_ref.shape[0]
+
+    @pl.when(jax.lax.rem(d_base // 2, W) == 0)
+    def _refill():
+        qb_ref[:W, :] = qheads_ref[:]
+        tb_ref[KC:, :] = ttails_ref[:]
+
+    o1e1 = jnp.int32(pen.o1 + pen.e1)
+    e1 = jnp.int32(pen.e1)
+    o2e2 = jnp.int32(pen.o2 + pen.e2) if pen.two_piece else jnp.int32(0)
+    e2 = jnp.int32(pen.e2) if pen.two_piece else jnp.int32(0)
+    x = jnp.int32(pen.x)
+
+    def _gap_pair(s_nb, ext_prev, opn_pen, ext_pen):
+        opn_v = s_nb + opn_pen
+        ext_v = ext_prev + ext_pen
+        return jnp.minimum(opn_v, ext_v), ext_v <= opn_v
+
+    def _finish(d, ks, s_prev, diag_ok, is_match, gaps, refs, j_local, in_band):
+        i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext = gaps
+        s_ref, i1_ref, d1_ref, i2_ref, d2_ref, run_ref = refs
+        best_gap = jnp.minimum(i1_new, d1_new)
+        if pen.two_piece:
+            best_gap = jnp.minimum(best_gap, jnp.minimum(i2_new, d2_new))
+        sub_cost = jnp.where(is_match, 0, x)
+        diag = jnp.where(diag_ok, s_prev + sub_cost, inf)
+        s_new = jnp.minimum(diag, best_gap)
+        lo = jnp.maximum(d - q2, -d)
+        hi = jnp.minimum(t2 - d, d)
+        active = (ks >= lo) & (ks <= hi) & in_band
+
+        if with_choices:
+            diag_hit = (diag == s_new) & diag_ok
+            choice = jnp.full((KC, TB), S_DIAG_MATCH, jnp.int32)
+            if pen.two_piece:
+                choice = jnp.where(d2_new == s_new, jnp.int32(S_D2), choice)
+            choice = jnp.where(d1_new == s_new, jnp.int32(S_D1), choice)
+            if pen.two_piece:
+                choice = jnp.where(i2_new == s_new, jnp.int32(S_I2), choice)
+            choice = jnp.where(i1_new == s_new, jnp.int32(S_I1), choice)
+            choice = jnp.where(
+                diag_hit & jnp.logical_not(is_match),
+                jnp.int32(S_DIAG_MISMATCH),
+                choice,
+            )
+            packed = (
+                choice
+                | (i1_ext.astype(jnp.int32) << 3)
+                | (d1_ext.astype(jnp.int32) << 4)
+                | (i2_ext.astype(jnp.int32) << 5)
+                | (d2_ext.astype(jnp.int32) << 6)
+            )
+            runlen = run_ref[:]
+            is_run = choice == jnp.int32(S_DIAG_MATCH)
+            inc = jnp.minimum(runlen, 254) + 1
+            new_run = jnp.where(is_run, inc, 0)
+            choices_ref[j_local] = (packed | (new_run << 8)).astype(
+                jnp.uint16
+            )
+            run_ref[:] = jnp.where(active, new_run, runlen)
+
+        s_ref[:] = jnp.where(active, s_new, s_prev)
+        i1_ref[:] = jnp.where(active, i1_new, i1_ref[:])
+        d1_ref[:] = jnp.where(active, d1_new, d1_ref[:])
+        if pen.two_piece:
+            i2_ref[:] = jnp.where(active, i2_new, i2_ref[:])
+            d2_ref[:] = jnp.where(active, d2_new, d2_ref[:])
+
+    def pair(jj, _):
+        d_o = d_base + 2 * jj + 1
+        d_e = d_o + 1
+        in_band = kline < (K // 2)
+        # odd-step D-side reads even diagonal 2c+2: out of band past K-2
+        dfill = kline >= (K // 2) - 1
+        row0 = kline == 0
+
+        # ---- ODD step: update the odd-parity bands -----------------------
+        tb_ext = pltpu.roll(tb_ref[:], shift=tb_rows - 1, axis=0)
+        tb_ref[:] = tb_ext
+        tbv = tb_ext[:KC, :]
+        qbv = qb_ref[W:, :]
+
+        se = se_ref[:]  # S_{d-1} (even rows)
+        so_prev = so_ref[:]  # S_{d-2} (odd rows, pre-update)
+        # neighbour j-1 = 2c -> even[c] (no shift); j+1 = 2c+2 -> even[c+1]
+        up = lambda a: jnp.where(dfill, inf, pltpu.roll(a, shift=KC - 1, axis=0))
+        s_up = up(se)
+        i1_new, i1_ext = _gap_pair(se, i1e_ref[:], o1e1, e1)
+        d1_new, d1_ext = _gap_pair(s_up, up(d1e_ref[:]), o1e1, e1)
+        if pen.two_piece:
+            i2_new, i2_ext = _gap_pair(se, i2e_ref[:], o2e2, e2)
+            d2_new, d2_ext = _gap_pair(s_up, up(d2e_ref[:]), o2e2, e2)
+        else:
+            i2_new, d2_new = i2o_ref[:], d2o_ref[:]
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+        diag_ok = (ks_o <= d_o - 2) & (ks_o >= 2 - d_o)
+        _finish(
+            d_o,
+            ks_o,
+            so_prev,
+            diag_ok,
+            qbv == tbv,
+            (i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext),
+            (so_ref, i1o_ref, d1o_ref, i2o_ref, d2o_ref, runo_ref),
+            2 * jj,
+            in_band,
+        )
+
+        # ---- EVEN step: update the even-parity bands ----------------------
+        qb_ext = pltpu.roll(qb_ref[:], shift=1, axis=0)
+        qb_ref[:] = qb_ext
+        qbv_e = qb_ext[W:, :]
+
+        so = so_ref[:]  # S_{d-1} (odd rows, just updated)
+        se_prev = se_ref[:]  # S_{d-2} (even rows)
+        # neighbour j-1 = 2c-1 -> odd[c-1]; j+1 = 2c+1 -> odd[c] (no shift)
+        down = lambda a: jnp.where(row0, inf, pltpu.roll(a, shift=1, axis=0))
+        s_dn = down(so)
+        i1_new, i1_ext = _gap_pair(s_dn, down(i1o_ref[:]), o1e1, e1)
+        d1_new, d1_ext = _gap_pair(so, d1o_ref[:], o1e1, e1)
+        if pen.two_piece:
+            i2_new, i2_ext = _gap_pair(s_dn, down(i2o_ref[:]), o2e2, e2)
+            d2_new, d2_ext = _gap_pair(so, d2o_ref[:], o2e2, e2)
+        else:
+            i2_new, d2_new = i2e_ref[:], d2e_ref[:]
+            i2_ext = jnp.zeros_like(i1_ext)
+            d2_ext = jnp.zeros_like(d1_ext)
+        diag_ok = (ks_e <= d_e - 2) & (ks_e >= 2 - d_e)
+        _finish(
+            d_e,
+            ks_e,
+            se_prev,
+            diag_ok,
+            qbv_e == tbv,
+            (i1_new, i1_ext, d1_new, d1_ext, i2_new, i2_ext, d2_new, d2_ext),
+            (se_ref, i1e_ref, d1e_ref, i2e_ref, d2e_ref, rune_ref),
+            2 * jj + 1,
+            in_band,
+        )
+        return 0
+
+    def _pair2(jj, _):
+        pair(2 * jj, 0)
+        pair(2 * jj + 1, 0)
+        return 0
+
+    if d_chunk % 4 == 0:
+        jax.lax.fori_loop(0, d_chunk // 4, _pair2, 0)
+    else:
+        jax.lax.fori_loop(0, d_chunk // 2, pair, 0)
+
+    # overflow clamp once per chunk (see run_dp_chunk for the proof)
+    for r in (se_ref, so_ref, i1e_ref, i1o_ref, d1e_ref, d1o_ref):
+        r[:] = jnp.minimum(r[:], inf)
+    if pen.two_piece:
+        for r in (i2e_ref, i2o_ref, d2e_ref, d2o_ref):
+            r[:] = jnp.minimum(r[:], inf)
+
+
+def _kernel_t2(
+    qlens_ref,
+    tlens_ref,
+    k0_ref,
+    qb0_ref,
+    tb0_ref,
+    qheads_ref,
+    ttails_ref,
+    sout_ref,  # (2*KC, TB): rows [0:KC] even-parity S, [KC:] odd
+    choices_ref,
+    se_ref,
+    so_ref,
+    i1e_ref,
+    i1o_ref,
+    d1e_ref,
+    d1o_ref,
+    i2e_ref,
+    i2o_ref,
+    d2e_ref,
+    d2o_ref,
+    qb_ref,
+    tb_ref,
+    rune_ref,
+    runo_ref,
+    *,
+    pen: Penalties,
+    k_width: int,
+    d_chunk: int,
+    with_choices: bool,
+    stream_period: int,
+):
+    KC = se_ref.shape[0]
+    TB = se_ref.shape[1]
+    W = stream_period
+    dch = pl.program_id(1)
+
+    kline = jax.lax.broadcasted_iota(jnp.int32, (KC, TB), 0)
+    k0 = k0_ref[:1, :]
+    ks_e = k0 + 2 * kline
+    inf = jnp.int32(INF)
+
+    @pl.when(dch == 0)
+    def _init():
+        se_ref[:] = jnp.where(ks_e == 0, 0, inf)
+        for r in (so_ref, i1e_ref, i1o_ref, d1e_ref, d1o_ref, i2e_ref,
+                  i2o_ref, d2e_ref, d2o_ref):
+            r[:] = jnp.full((KC, TB), inf, jnp.int32)
+        qb_ref[W:, :] = qb0_ref[:]
+        tb_ref[:KC, :] = tb0_ref[:]
+        rune_ref[:] = jnp.zeros((KC, TB), jnp.int32)
+        runo_ref[:] = jnp.zeros((KC, TB), jnp.int32)
+
+    run_dp_chunk_t2(
+        qlens_ref,
+        tlens_ref,
+        k0_ref,
+        qheads_ref,
+        ttails_ref,
+        choices_ref,
+        se_ref,
+        so_ref,
+        i1e_ref,
+        i1o_ref,
+        d1e_ref,
+        d1o_ref,
+        i2e_ref,
+        i2o_ref,
+        d2e_ref,
+        d2o_ref,
+        qb_ref,
+        tb_ref,
+        rune_ref,
+        runo_ref,
+        pen=pen,
+        k_width=k_width,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        d_base=dch * d_chunk,
+        stream_period=stream_period,
+    )
+    sout_ref[:KC, :] = se_ref[:]
+    sout_ref[KC:, :] = so_ref[:]
+
+
+def _forward_t2(
+    qs: jnp.ndarray,
+    ts: jnp.ndarray,
+    qlens: jnp.ndarray,
+    tlens: jnp.ndarray,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    with_choices: bool = False,
+    interpret: bool = False,
+):
+    """Transposed parity-compressed forward (same returns as
+    dense.dense_forward; planes (2*l_pad_eff, KC, B) u16 — address with
+    dense_traceback(compressed=True, transposed=True))."""
+    B0 = qs.shape[0]
+    K = k_width
+    if K % LANES:
+        raise ValueError(f"k_width must be a multiple of {LANES}, got {K}")
+    if K > T2_MAX_K:
+        raise ValueError(f"k_width {K} > {T2_MAX_K}: use the wide-band kernels")
+    KC = K // 2  # multiple of 64: satisfies every sublane tiling rule
+    tb = T_TB
+    d_chunk = _tiles_for_t2(KC, max(l_pad, 4))
+    # stream window: one entry per step PAIR, sublane-tiled (mult of 8)
+    period = max(d_chunk // 2, 8)
+    l_pad_eff = -(-max(l_pad, period, d_chunk // 2) // period) * period
+    if l_pad_eff != l_pad:
+        padc = jnp.zeros((B0, l_pad_eff - l_pad), jnp.uint8)
+        qs = jnp.concatenate([qs, padc], 1)
+        ts = jnp.concatenate([ts, padc], 1)
+    B = ((B0 + tb - 1) // tb) * tb
+    if B != B0:
+        padq = jnp.zeros((B - B0, l_pad_eff), jnp.uint8)
+        qs = jnp.concatenate([qs, padq], 0)
+        ts = jnp.concatenate([ts, padq], 0)
+        padl = jnp.zeros((B - B0,), jnp.int32)
+        qlens = jnp.concatenate([qlens, padl], 0)
+        tlens = jnp.concatenate([tlens, padl], 0)
+
+    D2 = 2 * l_pad_eff
+    nd = D2 // d_chunk
+    nb = B // tb
+
+    qb0, tb0, q_heads, t_tails, k0, k_end, slack = _precompute_streams_c2(
+        qs, ts, qlens, tlens, K, l_pad_eff, kc=KC
+    )
+    # reverse each refill window of the head stream (fed via roll-down)
+    nw = l_pad_eff // period
+    q_heads_rev = q_heads.reshape(B, nw, period)[:, :, ::-1].reshape(
+        B, l_pad_eff
+    )
+    # transpose the per-pair axes once (cheap XLA transposes, off the
+    # hot loop): registers (KC, B), streams (l_pad_eff, B)
+    qb0_t = qb0.T
+    tb0_t = tb0.T
+    qheads_t = q_heads_rev.T
+    ttails_t = t_tails.T
+
+    meta_spec = pl.BlockSpec(
+        (1, tb), lambda b, d: (0, b), memory_space=pltpu.VMEM
+    )
+    reg_spec = pl.BlockSpec(
+        (KC, tb), lambda b, d: (0, b), memory_space=pltpu.VMEM
+    )
+    band2_spec = pl.BlockSpec(
+        (2 * KC, tb), lambda b, d: (0, b), memory_space=pltpu.VMEM
+    )
+    stream_spec = pl.BlockSpec(
+        (period, tb),
+        lambda b, d: ((d * (d_chunk // 2)) // period, b),
+        memory_space=pltpu.VMEM,
+    )
+
+    out_shapes = [jax.ShapeDtypeStruct((2 * KC, B), jnp.int32)]
+    out_specs = [band2_spec]
+    if with_choices:
+        plane_spec = pl.BlockSpec(
+            (d_chunk, KC, tb),
+            lambda b, d: (d, 0, b),
+            memory_space=pltpu.VMEM,
+        )
+        out_shapes += [jax.ShapeDtypeStruct((D2, KC, B), jnp.uint16)]
+        out_specs += [plane_spec]
+    else:
+        dummy_spec = pl.BlockSpec(
+            (1, KC, tb), lambda b, d: (0, 0, b), memory_space=pltpu.VMEM
+        )
+        out_shapes += [jax.ShapeDtypeStruct((1, KC, B), jnp.uint16)]
+        out_specs += [dummy_spec]
+
+    kernel = functools.partial(
+        _kernel_t2,
+        pen=pen,
+        k_width=K,
+        d_chunk=d_chunk,
+        with_choices=with_choices,
+        stream_period=period,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nd),
+        in_specs=[
+            meta_spec,
+            meta_spec,
+            meta_spec,
+            reg_spec,
+            reg_spec,
+            stream_spec,
+            stream_spec,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((KC, tb), jnp.int32)] * 10  # 5 bands x 2 par
+        + [
+            pltpu.VMEM((period + KC, tb), jnp.int32),  # qb ext register
+            pltpu.VMEM((KC + period, tb), jnp.int32),  # tb ext register
+            pltpu.VMEM((KC, tb), jnp.int32),  # runlen even
+            pltpu.VMEM((KC, tb), jnp.int32),  # runlen odd
+        ],
+        interpret=interpret,
+    )(
+        qlens[None, :].astype(jnp.int32),
+        tlens[None, :].astype(jnp.int32),
+        k0[None, :].astype(jnp.int32),
+        qb0_t,
+        tb0_t,
+        qheads_t,
+        ttails_t,
+    )
+    s_final = outs[0]  # (2*KC, B)
+
+    c_end = jnp.clip(k_end - k0, 0, K - 1)
+    c_end_packed = (c_end & 1) * KC + (c_end >> 1)
+    scores = jnp.take_along_axis(s_final, c_end_packed[None, :], axis=0)[0, :]
+    feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= D2)
+    scores = jnp.where(feasible, scores, INF)
+    scores = jnp.minimum(scores, INF)
+
+    w = jnp.maximum(slack, 0)
+    n = w + 1
+    esc = 2 * jnp.minimum(
+        pen.o1 + n * pen.e1,
+        (pen.o2 + n * pen.e2) if pen.two_piece else pen.o1 + n * pen.e1,
+    )
+    full_cover = (k0 <= -qlens) & (k0 + (K - 1) >= tlens)
+    certificate = ((scores < esc) | full_cover) & feasible & (scores < INF)
+
+    scores = scores[:B0]
+    certificate = certificate[:B0]
+    if with_choices:
+        return scores, certificate, outs[1][:, :, :B0]
     return scores, certificate, None

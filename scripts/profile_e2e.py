@@ -43,15 +43,42 @@ def main():
         "dispatch_enqueue", DE.DenseBandAligner._dispatch_group
     )
     DE.DenseBandAligner._collect_group = timed(
-        "collect(block+host)", DE.DenseBandAligner._collect_group
+        "collect(host unpack)", DE.DenseBandAligner._collect_group
     )
     DE.DenseBandAligner._build_pool_indexed = timed(
         "build_pool", DE.DenseBandAligner._build_pool_indexed
     )
     orig_orient = AllPairAligner._orient_chunk
     AllPairAligner._orient_chunk = timed("orient_chunk", orig_orient)
-    orig_align_pairs = DE.UnifiedAligner.align_pairs
-    DE.UnifiedAligner.align_pairs = timed("unified_align_pairs", orig_align_pairs)
+    orig_align_pairs = DE.UnifiedAligner.align_pairs_indexed
+    DE.UnifiedAligner.align_pairs_indexed = timed(
+        "unified_align_pairs", orig_align_pairs
+    )
+    orig_emit = AllPairAligner._emit_chunk
+    AllPairAligner._emit_chunk = staticmethod(timed("emit_chunk", orig_emit))
+
+    # split collect into the device wait/transfer (np.asarray) and the
+    # host-side unpack that follows it
+    import allwave_tpu.utils.telemetry as TEL
+
+    orig_td = TEL.timed_dispatch
+
+    class _TimedXfer:
+        def __init__(self, *a):
+            self._cm = orig_td(*a)
+
+        def __enter__(self):
+            self._t0 = time.perf_counter()
+            self._cm.__enter__()
+            return self
+
+        def __exit__(self, *exc):
+            out = self._cm.__exit__(*exc)
+            T["collect:device+xfer"] += time.perf_counter() - self._t0
+            C["collect:device+xfer"] += 1
+            return out
+
+    TEL.timed_dispatch = _TimedXfer  # dense_engine imports it at call time
 
     def run_once():
         aligner = AllPairAligner(
@@ -82,10 +109,15 @@ def main():
         known = 0.0
         for k in sorted(T, key=lambda k: -T[k]):
             print(f"  {k:24s} {T[k]*1000:8.1f} ms  x{C[k]}")
-        # breakdown inside unified: align = dispatch+collect+rest
-        inner = T["dispatch_enqueue"] + T["collect(block+host)"] + T["build_pool"]
+        # breakdown inside unified: align = enqueue + xfer + unpack + pool + rest
+        inner = (
+            T["dispatch_enqueue"]
+            + T["collect:device+xfer"]
+            + T["collect(host unpack)"]
+            + T["build_pool"]
+        )
         print(f"  align_pairs other host   {(T['unified_align_pairs']-inner)*1000:8.1f} ms")
-        print(f"  emit/callback loop       {(dt - T['orient_chunk'] - T['unified_align_pairs'])*1000:8.1f} ms")
+        print(f"  pipeline other           {(dt - T['orient_chunk'] - T['unified_align_pairs'])*1000:8.1f} ms (emit overlaps)")
 
 
 if __name__ == "__main__":

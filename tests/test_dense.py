@@ -249,3 +249,25 @@ def test_escalation_steps_to_next_ladder_rung():
     ref = DenseBandAligner(pen, DenseConfig(impl="xla")).align_pairs([(q, t)])[0]
     assert res[0] == ref[0]
     np.testing.assert_array_equal(res[1], ref[1])
+
+
+def test_multi_group_wave_dispatch_matches_single():
+    """When a round splits into several dispatch groups, the whole wave
+    runs as ONE device dispatch (lax.map over stacked sub-batches) —
+    results must be identical to the unconstrained single-group path,
+    including the padded final sub-group."""
+    rng = np.random.RandomState(9)
+    pairs = []
+    for _ in range(11):  # max_batch=4 -> G=3 with a short last group
+        q = _random_dna(rng, 120)
+        pairs.append((q, _mutate(rng, q, n_snp=3, n_ins=1, n_del=1)))
+    wave = DenseBandAligner(TWOPIECE, DenseConfig(max_batch=4))
+    single = DenseBandAligner(TWOPIECE, DenseConfig())
+    got_w, stats_w = wave.align_pairs(pairs, with_stats=True)
+    got_s, stats_s = single.align_pairs(pairs, with_stats=True)
+    np.testing.assert_array_equal(stats_w, stats_s)
+    for (q, t), rw, rs in zip(pairs, got_w, got_s):
+        assert rw is not None and rs is not None
+        assert rw[0] == rs[0]
+        np.testing.assert_array_equal(rw[1], rs[1])
+        validate_cigar(rw[1], q, t)

@@ -99,6 +99,57 @@ def test_pallas_compressed_matches_xla(K, l_pad, div):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
 
 
+@pytest.mark.parametrize(
+    "scores_str,K,l_pad,div",
+    [
+        ("0,5,8,2,24,1", 128, 128, 0.05),
+        ("0,5,8,2,24,1", 384, 256, 0.15),
+        ("0,4,6,2", 256, 128, 0.2),
+        ("0,1,1,1", 128, 96, 0.1),
+    ],
+)
+def test_pallas_t2_matches_xla(scores_str, K, l_pad, div, monkeypatch):
+    """The opt-in TRANSPOSED + parity-compressed kernel ('t2', env
+    ALLWAVE_T2=1): kept as an alternate rung for TPU generations where
+    halved tick count beats its extra per-tick ops — must stay
+    bit-identical to the XLA engine (scores, certificates, and the runs
+    a traceback over its planes produces)."""
+    monkeypatch.setattr(P_, "_T2_DISABLED", False)
+    monkeypatch.setattr(P_, "_T_DISABLED", False)
+    jax.clear_caches()  # routing is baked into traces
+    try:
+        pen = resolve_penalties(parse_scores(scores_str))
+        rng = np.random.RandomState(23)
+        qs, ts, qlens, tlens = _random_batch(
+            rng, 5, (l_pad * 3) // 4, l_pad, div
+        )
+        args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
+        assert P_._route(K) == "t2"
+        sa, ca, cha = D_.dense_forward(*args, pen, K, l_pad, True)
+        sp, cp, chp = P_._forward_t2(
+            *args, pen, K, l_pad, True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sp))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cp))
+        run_cap = 2 * l_pad + 8
+        ta = D_.dense_traceback(cha, sa, args[2], args[3], pen, run_cap)
+        tp = D_.dense_traceback(
+            chp,
+            sp,
+            args[2],
+            args[3],
+            pen,
+            run_cap,
+            k_width=K,
+            compressed=True,
+            transposed=True,
+        )
+        for xa, xp in zip(ta, tp):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xp))
+    finally:
+        jax.clear_caches()  # don't leak t2-routed traces to other tests
+
+
 def test_pallas_pads_batch_and_length():
     """B not a multiple of 32 and l_pad < 128 are padded internally."""
     pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
@@ -141,8 +192,15 @@ def test_dense_align_packed_roundtrip():
         )
     )
     meta = packed[:, :32].copy().view(np.int32).reshape(-1, 8)
-    ops = packed[:, 32 : 32 + run_cap]
-    lens = packed[:, 32 + run_cap :]
+    # traceback ops travel 2-bit packed (4 per byte); unpack like the
+    # engine's collect path does
+    from allwave_tpu.wfa.dense_engine import _OPS_UNPACK_LUT
+
+    cap4 = (run_cap + 3) // 4
+    ops = _OPS_UNPACK_LUT[packed[:, 32 : 32 + cap4]].reshape(
+        packed.shape[0], 4 * cap4
+    )[:, :run_cap]
+    lens = packed[:, 32 + cap4 :]
 
     args = tuple(map(jnp.asarray, (qs, ts, qlens, tlens)))
     scores, cert, ops2, lens2, nruns2, ovf2 = (
@@ -153,10 +211,12 @@ def test_dense_align_packed_roundtrip():
     np.testing.assert_array_equal(meta[:, 1], nruns2)
     np.testing.assert_array_equal(meta[:, 2], cert.astype(np.int32))
     np.testing.assert_array_equal(meta[:, 3], ovf2.astype(np.int32))
-    np.testing.assert_array_equal(ops, ops2)
-    np.testing.assert_array_equal(lens, lens2)
-    # device-reduced PAF stat columns == host reductions over the runs
+    # 2-bit packing has no spare code for "empty": positions past nruns
+    # unpack to 'M' bytes — only the first nruns ops are meaningful
     valid = np.arange(run_cap)[None, :] < nruns2[:, None]
+    np.testing.assert_array_equal(np.where(valid, ops, 0), np.where(valid, ops2, 0))
+    np.testing.assert_array_equal(np.where(valid, lens, 0), np.where(valid, lens2, 0))
+    # device-reduced PAF stat columns == host reductions over the runs
     l64 = lens2.astype(np.int64)
     m = np.where((ops2 == ord("M")) & valid, l64, 0).sum(1)
     x = np.where((ops2 == ord("X")) & valid, l64, 0).sum(1)
