@@ -118,13 +118,34 @@ class DenseBandAligner:
     K_LADDER = sorted(
         {128 << i for i in range(8)} | {384 << i for i in range(6)}
     )
+    #: extra rungs between the pow2/384-pattern widths. Valid only when
+    #: bands run on the TRANSPOSED Pallas kernel (K sits on sublanes —
+    #: any multiple of 8) or the portable XLA scan (any K); the
+    #: lane-layout kernels (c2/u) need K % 128 == 0. A 2x rung step
+    #: costs up to 2x band cells on hint-sized rounds (e.g. a 189-wide
+    #: certified band forced onto K=256); 192/320 cut that worst-case
+    #: overshoot to 1.5x at the cost of two more compiled shapes.
+    K_LADDER_FINE = sorted(set(K_LADDER) | {192, 320})
+
+    def _ladder(self):
+        """The rung set valid for the engine's current routing (the
+        fallback ladder can disable the transposed kernel at runtime —
+        rounds created after that must stay on 128-multiples)."""
+        if self.impl == "xla":
+            return self.K_LADDER_FINE
+        from . import pallas_dense as P
+
+        if not P._T_DISABLED:
+            return self.K_LADDER_FINE
+        return self.K_LADDER
 
     def _round_k(self, k: int) -> int:
         """Smallest accepted band width >= k."""
-        for v in self.K_LADDER:
+        ladder = self._ladder()
+        for v in ladder:
             if v >= k:
                 return v
-        return self.K_LADDER[-1]
+        return ladder[-1]
 
     def _k_for_score(self, sigma: int, kend_abs: int) -> int:
         """Smallest accepted band width whose exit-and-return
@@ -143,7 +164,7 @@ class DenseBandAligner:
 
     def _round_ks(self, k: np.ndarray) -> np.ndarray:
         """Vectorized _round_k over an int64 array."""
-        ladder = np.asarray(self.K_LADDER, dtype=np.int64)
+        ladder = np.asarray(self._ladder(), dtype=np.int64)
         idx = np.searchsorted(ladder, k).clip(0, ladder.size - 1)
         return ladder[idx]
 
@@ -348,10 +369,15 @@ class DenseBandAligner:
             }
         else:
             # vectorized _k_for_score over the whole batch (the scalar
-            # loop was ~25 ms at 16k pairs)
-            ks = self._k_for_scores(
-                np.asarray(sigma_hint, dtype=np.int64), kend_abs_all
-            )
+            # loop was ~25 ms at 16k pairs). The mash-derived hint is an
+            # UPPER-ish estimate (sketch noise + fixed margin, see
+            # pipeline._orient_chunk); sizing bands for the raw hint
+            # pushes ~half the pairs one rung too wide (measured: hints
+            # 215-299 vs true scores ~200-210 at 2% divergence). Shave
+            # 12.5% for rung selection — pairs whose TRUE score exceeds
+            # the narrower band's certificate escalate and stay exact.
+            sig = np.asarray(sigma_hint, dtype=np.int64)
+            ks = self._k_for_scores(sig - (sig >> 3), kend_abs_all)
             ks = np.maximum(ks, self._round_k(self.config.k_initial))
             ks = np.maximum(ks, self._round_ks(kend_abs_all + 2))
             ks = np.minimum(ks, self._round_ks(sum_lens + 1))
@@ -367,20 +393,29 @@ class DenseBandAligner:
         # coalesce small hint-rounds into the next wider band: a tiny
         # round costs a full dispatch + tunnel round trip (~35 ms) but
         # only ~size/batch of extra compute when merged upward (wider
-        # bands are always exact; certificates only get easier)
+        # bands are always exact; certificates only get easier). A small
+        # TOP round (no wider sibling) merges DOWN into the widest
+        # sibling below it instead: its pairs were sized from extreme
+        # hint noise, and any that genuinely need the wider band fail
+        # the narrower certificate and escalate — still exact, and the
+        # straggler round stops costing a dispatch (or a recurring
+        # host-oracle detour on cold shapes) every call.
         if len(rounds) > 1:
             for key in sorted(rounds):
                 if key not in rounds or len(rounds) == 1:
                     continue
                 if len(rounds[key]) >= 512:
                     continue
-                larger = [
+                siblings = [
                     kk
                     for kk in rounds
-                    if kk[1] == key[1] and kk[0] > key[0]
+                    if kk[1] == key[1] and kk != key
                 ]
+                larger = [kk for kk in siblings if kk[0] > key[0]]
                 if larger:
                     rounds[min(larger)].extend(rounds.pop(key))
+                elif siblings:
+                    rounds[max(siblings)].extend(rounds.pop(key))
 
         # dispatch ALL known rounds first, then drain with ONE
         # device->host transfer per distinct buffer width: over the
@@ -590,6 +625,16 @@ class DenseBandAligner:
             groups = [
                 idxs[lo : lo + bsz] for lo in range(0, len(idxs), bsz)
             ]
+            # a short trailing group pads to bsz inside the wave; when
+            # the pow2 pad would be at most half that, dispatching it
+            # separately costs one extra enqueue (~ms) but saves
+            # (bsz - pow2(r)) rows of kernel compute and fetch bytes
+            tail = None
+            if (
+                len(groups) > 1
+                and self._next_pow2(len(groups[-1])) <= bsz // 2
+            ):
+                tail = groups.pop()
             if len(groups) > 1 and not self._use_mesh():
                 # one dispatch for the whole wave (lax.map over groups)
                 buf = self._dispatch_groups(groups, k, cap, l_pad, bsz)
@@ -600,6 +645,10 @@ class DenseBandAligner:
                         group, k, cap, l_pad
                     )
                     inflight.append(([group], dispatched, k, cap))
+            if tail is not None:
+                inflight.append(
+                    ([tail], self._dispatch_group(tail, k, cap, l_pad), k, cap)
+                )
         return (results, stats) if with_stats else results
 
     def _shape_key(self, k, run_cap, l_pad, b_pad, g=1):

@@ -1211,8 +1211,12 @@ def _forward_t(
     transposed=True (no materialized transpose of the big planes)."""
     B0 = qs.shape[0]
     K = k_width
-    if K % LANES:
-        raise ValueError(f"k_width must be a multiple of {LANES}, got {K}")
+    # K sits on SUBLANES here (band state blocks are (K, tb)), so the
+    # only alignment requirement is the int32 sublane tile (8) — this
+    # admits the 192/384-style ladder rungs between powers of two that
+    # the lane-layout kernels (K on lanes) cannot take
+    if K % 8:
+        raise ValueError(f"k_width must be a multiple of 8, got {K}")
     if K > T_MAX_K:
         raise ValueError(f"k_width {K} > {T_MAX_K}: use the wide-band kernels")
     tb = T_TB
