@@ -417,73 +417,59 @@ class DenseBandAligner:
                 elif siblings:
                     rounds[max(siblings)].extend(rounds.pop(key))
 
-        # dispatch ALL known rounds first, then drain with ONE
-        # device->host transfer per distinct buffer width: over the
-        # driver tunnel a blocking fetch costs ~23 ms fixed latency and
-        # small transfers run at half the bandwidth of large ones, so
-        # per-group fetches were the dominant e2e cost (4 groups: ~210
-        # ms of fetch for ~26 ms of kernel compute). Group buffers are
-        # concatenated on device (an enqueue costs ~0.2 ms) and fetched
-        # in one transfer; escalations refill `rounds` for the next
-        # dispatch wave.
-        # (sub-groups, device_buf, k, cap): buf holds len(groups)
-        # blocks of buf.shape[0]//len(groups) rows, group-major
+        # dispatch ALL known rounds first, then drain: every dispatch is
+        # already enqueued when the first blocking fetch starts, so the
+        # device computes items i+1.. while item i transfers over the
+        # driver tunnel (~23 ms fixed + ~25 MB/s), and a 1-worker
+        # prefetch thread keeps the NEXT transfer running while the main
+        # thread unpacks the current one. Waves are capped at
+        # ALLWAVE_WAVE_G groups per dispatch (default 1: over this tunnel,
+        # finer fetch granularity beat per-execute amortization in A/B
+        # runs; >1 re-enables the lax.map wave) — big enough to
+        # amortize the per-execute tunnel cost, small enough that the
+        # fetch of wave i overlaps real compute of wave i+1.
+        # inflight item = (sub-groups, device_buf, k, cap): buf holds
+        # len(groups) blocks of buf.shape[0]//len(groups) rows,
+        # group-major.
         inflight: List[tuple] = []
 
         def _drain_all():
-            import jax.numpy as jnp
+            from concurrent.futures import ThreadPoolExecutor
 
             from ..utils.telemetry import timed_dispatch
 
             if not inflight:
                 return
-            by_width: Dict[int, List[tuple]] = {}
-            for item in inflight:
-                by_width.setdefault(int(item[1].shape[1]), []).append(item)
+            items = list(inflight)
             inflight.clear()
             prof = os.environ.get("ALLWAVE_PROFILE_DRAIN") == "1"
-            for items in by_width.values():
-                npairs = sum(len(g) for it in items for g in it[0])
-                cells = sum(
-                    len(g) * 2 * l_pad * it[2]
-                    for it in items
-                    for g in it[0]
-                )
-                with timed_dispatch(npairs, cells):
-                    if len(items) == 1:
-                        dev = items[0][1]
-                    else:
-                        dev = jnp.concatenate(
-                            [it[1] for it in items], axis=0
-                        )
-                    if prof:
-                        import sys as _sys
-                        import time as _time
+            with ThreadPoolExecutor(1) as ex:
+                futs = [ex.submit(np.asarray, it[1]) for it in items]
+                for (groups_, buf, kk, cc), fut in zip(items, futs):
+                    npairs = sum(len(g) for g in groups_)
+                    cells = npairs * 2 * l_pad * kk
+                    with timed_dispatch(npairs, cells):
+                        if prof:
+                            import sys as _sys
+                            import time as _time
 
-                        t0 = _time.perf_counter()
-                        dev.block_until_ready()
-                        t1 = _time.perf_counter()
-                        flat = np.asarray(dev)
-                        t2 = _time.perf_counter()
-                        print(
-                            f"[drain] {npairs} pairs {dev.nbytes/1e6:.2f} MB"
-                            f" compute+sync {1e3*(t1-t0):.1f} ms"
-                            f" xfer {1e3*(t2-t1):.1f} ms",
-                            file=_sys.stderr,
-                        )
-                    else:
-                        flat = np.asarray(dev)
-                off = 0
-                for groups_, buf, kk, cc in items:
-                    rows = buf.shape[0]
-                    blk = rows // len(groups_)
+                            t0 = _time.perf_counter()
+                            flat = fut.result()
+                            print(
+                                f"[drain] {npairs} pairs"
+                                f" {flat.nbytes/1e6:.2f} MB"
+                                f" wait+xfer {1e3*(_time.perf_counter()-t0):.1f} ms",
+                                file=_sys.stderr,
+                            )
+                        else:
+                            flat = fut.result()
+                    blk = flat.shape[0] // len(groups_)
                     for gi, g in enumerate(groups_):
-                        pk = flat[off + gi * blk : off + (gi + 1) * blk]
+                        pk = flat[gi * blk : (gi + 1) * blk]
                         for i, key in self._collect_group(
                             g, pk, results, stats, kk, cc, l_pad
                         ):
                             rounds.setdefault(key, []).append(i)
-                    off += rows
 
         # tiny rounds (escalations, hint-stragglers) run on the native
         # C++ oracle instead of the device: a fresh (K, B) kernel shape
@@ -589,7 +575,10 @@ class DenseBandAligner:
                     self._next_pow2(min(len(idxs), bsz)),
                 ),
             )
-            g_est = -(-len(idxs) // bsz)
+            g_est = min(
+                -(-len(idxs) // bsz),
+                max(1, int(os.environ.get("ALLWAVE_WAVE_G", "1"))),
+            )
             if g_est > 1 and not self._use_mesh():
                 cold = (
                     self._shape_key(k, cap, l_pad, bsz, g_est)
@@ -635,10 +624,27 @@ class DenseBandAligner:
                 and self._next_pow2(len(groups[-1])) <= bsz // 2
             ):
                 tail = groups.pop()
+            wave_g = max(1, int(os.environ.get("ALLWAVE_WAVE_G", "1")))
             if len(groups) > 1 and not self._use_mesh():
-                # one dispatch for the whole wave (lax.map over groups)
-                buf = self._dispatch_groups(groups, k, cap, l_pad, bsz)
-                inflight.append((groups, buf, k, cap))
+                # one dispatch per wave of <= wave_g groups (lax.map)
+                for lo2 in range(0, len(groups), wave_g):
+                    sub = groups[lo2 : lo2 + wave_g]
+                    if len(sub) > 1:
+                        buf = self._dispatch_groups(
+                            sub, k, cap, l_pad, bsz
+                        )
+                        inflight.append((sub, buf, k, cap))
+                    else:
+                        inflight.append(
+                            (
+                                sub,
+                                self._dispatch_group(
+                                    sub[0], k, cap, l_pad
+                                ),
+                                k,
+                                cap,
+                            )
+                        )
             else:
                 for group in groups:
                     dispatched = self._dispatch_group(

@@ -251,11 +251,13 @@ def test_escalation_steps_to_next_ladder_rung():
     np.testing.assert_array_equal(res[1], ref[1])
 
 
-def test_multi_group_wave_dispatch_matches_single():
-    """When a round splits into several dispatch groups, the whole wave
-    runs as ONE device dispatch (lax.map over stacked sub-batches) —
-    results must be identical to the unconstrained single-group path,
-    including the padded final sub-group."""
+def test_multi_group_wave_dispatch_matches_single(monkeypatch):
+    """When a round splits into several dispatch groups and the wave
+    size allows it (ALLWAVE_WAVE_G > 1), groups run as ONE device
+    dispatch (lax.map over stacked sub-batches) — results must be
+    identical to the unconstrained single-group path, including the
+    padded final sub-group."""
+    monkeypatch.setenv("ALLWAVE_WAVE_G", "3")
     rng = np.random.RandomState(9)
     pairs = []
     for _ in range(11):  # max_batch=4 -> G=3 with a short last group
