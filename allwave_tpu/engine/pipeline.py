@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Sequence as PySequence
 
+import os
+
 import numpy as np
 
 from ..core.cigar import count_cigar_operations, parse_cigar_lengths
@@ -30,7 +32,12 @@ from ..wfa.dense_engine import UnifiedAligner
 from ..wfa.params import resolve_penalties
 
 #: pairs per streaming chunk fed to the batch engine
-DEFAULT_CHUNK = 16384
+#: pairs per streaming chunk. One chunk = one dispatch group at the
+#: engine's max batch, so the chunk-level pipeline (orient/dispatch
+#:  chunk i+1 while chunk i transfers/unpacks/emits) gets real overlap
+#: granularity; 4x larger chunks measured ~15% slower end-to-end once
+#: the pipeline landed (one chunk = no overlap). ALLWAVE_CHUNK overrides.
+DEFAULT_CHUNK = int(os.environ.get("ALLWAVE_CHUNK", "4096"))
 
 
 def _result_from_cigar(
@@ -268,7 +275,14 @@ class AllPairAligner:
                 f, emit_fut = emit_fut, None
                 f.result()
 
+        # chunk-level software pipeline: chunk i+1 is ORIENTED and
+        # DISPATCHED (device busy) before chunk i's results are
+        # collected, so the host-side orient/unpack/emit of one chunk
+        # overlaps the device compute + tunnel transfer of its
+        # neighbours. At most one chunk is awaiting collection and one
+        # is being emitted at any time — memory stays O(chunk).
         ex = ThreadPoolExecutor(1)
+        pending = None  # (handle, chunk, revs) awaiting .finish()
         try:
             for lo in range(0, pairs.shape[0], self.chunk_size):
                 chunk = pairs[lo : lo + self.chunk_size]
@@ -285,7 +299,7 @@ class AllPairAligner:
                     pool_seqs, qidx, tidx, revs, sigma_hint = (
                         self._orient_chunk(chunk)
                     )
-                aligned, stats = eng.align_pairs_indexed(
+                handle = eng.align_pairs_indexed_async(
                     pool_seqs,
                     qidx,
                     tidx,
@@ -293,9 +307,25 @@ class AllPairAligner:
                     sigma_hint=sigma_hint,
                     as_runs=True,
                 )
+                if pending is not None:
+                    p_handle, p_chunk, p_revs = pending
+                    aligned, stats = p_handle.finish()
+                    _wait_emit()
+                    emit_fut = ex.submit(
+                        self._emit_chunk,
+                        callback,
+                        p_chunk,
+                        p_revs,
+                        aligned,
+                        stats,
+                    )
+                pending = (handle, chunk, revs)
+            if pending is not None:
+                p_handle, p_chunk, p_revs = pending
+                aligned, stats = p_handle.finish()
                 _wait_emit()
                 emit_fut = ex.submit(
-                    self._emit_chunk, callback, chunk, revs, aligned, stats
+                    self._emit_chunk, callback, p_chunk, p_revs, aligned, stats
                 )
             _wait_emit()
         finally:

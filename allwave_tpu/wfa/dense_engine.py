@@ -67,6 +67,33 @@ def _auto_impl() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+class _AsyncResult:
+    """Handle for an in-flight align call: the initial dispatches are
+    already enqueued on the device; .finish() blocks on the transfers,
+    runs any escalation rounds, and returns the results. finish() may
+    be called exactly once."""
+
+    __slots__ = ("_fn",)
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def finish(self):
+        return self._fn()
+
+
+class _ReadyResult:
+    """Degenerate handle for results that are already complete."""
+
+    __slots__ = ("_res",)
+
+    def __init__(self, res):
+        self._res = res
+
+    def finish(self):
+        return self._res
+
+
 class DenseBandAligner:
     def __init__(self, pen: Penalties, config: Optional[DenseConfig] = None):
         from ..utils.jaxcache import enable_compilation_cache
@@ -189,7 +216,12 @@ class DenseBandAligner:
     _POOL_CACHE: Dict[Tuple[int, int], Tuple[object, object]] = {}
 
     def _build_pool_indexed(
-        self, pool_seqs, qidx: np.ndarray, tidx: np.ndarray, l_pad: int
+        self,
+        pool_seqs,
+        qidx: np.ndarray,
+        tidx: np.ndarray,
+        l_pad: int,
+        lens,
     ):
         """ONE device-resident sequence pool per call + per-pair row
         indices: all-pairs workloads reference each sequence ~2(n-1)
@@ -201,7 +233,7 @@ class DenseBandAligner:
         buckets) skip the upload entirely."""
         import jax.numpy as jnp
 
-        qlens_all, tlens_all = self._lens
+        qlens_all, tlens_all = lens
         key = (id(pool_seqs), l_pad)
         hit = self._POOL_CACHE.get(key)
         if hit is not None and hit[0] is pool_seqs:
@@ -275,6 +307,26 @@ class DenseBandAligner:
             as_runs=as_runs,
         )
 
+    def _degrade_engine(self) -> bool:
+        """One rung down the engine-fallback ladder (t2 -> t -> xla).
+        Returns False when already at the bottom (caller re-raises)."""
+        import jax
+
+        from . import pallas_dense as P
+
+        if self.impl != "pallas":
+            return False
+        if not (P._T2_DISABLED or P._T_DISABLED):
+            P.disable_t2()
+        elif not P._T_DISABLED:
+            P.disable_transposed()
+        else:
+            self.impl = "xla"
+        jax.clear_caches()
+        self._sharded_steps.clear()
+        _COMPILED_SHAPES.clear()
+        return True
+
     def align_pairs_indexed(
         self,
         pool_seqs,
@@ -298,27 +350,14 @@ class DenseBandAligner:
         across all three engines, so correctness is unaffected."""
         while True:
             try:
-                return self._align_pairs_indexed(
+                return self._align_async(
                     pool_seqs, qidx, tidx, with_stats, sigma_hint, as_runs
-                )
+                ).finish()
             except Exception:
-                import jax
-
-                from . import pallas_dense as P
-
-                if self.impl != "pallas":
+                if not self._degrade_engine():
                     raise
-                if not (P._T2_DISABLED or P._T_DISABLED):
-                    P.disable_t2()
-                elif not P._T_DISABLED:
-                    P.disable_transposed()
-                else:
-                    self.impl = "xla"
-                jax.clear_caches()
-                self._sharded_steps.clear()
-                _COMPILED_SHAPES.clear()
 
-    def _align_pairs_indexed(
+    def align_pairs_indexed_async(
         self,
         pool_seqs,
         qidx: np.ndarray,
@@ -327,19 +366,54 @@ class DenseBandAligner:
         sigma_hint=None,
         as_runs: bool = False,
     ):
-        self._as_runs = as_runs
+        """Non-blocking align_pairs_indexed: the initial rounds are
+        DISPATCHED (enqueued on the device) before this returns, and
+        the returned handle's .finish() blocks for transfers, runs any
+        escalation rounds, and returns the same results as the sync
+        call. The caller can orient/emit other chunks between dispatch
+        and finish — the device computes through all of it. Engine
+        failures inside finish() fall back down the same ladder by
+        re-running the whole call synchronously (results rebuild from
+        scratch, so a partial first attempt cannot leak)."""
+        args = (pool_seqs, qidx, tidx, with_stats, sigma_hint, as_runs)
+        try:
+            h = self._align_async(*args)
+        except Exception:
+            if not self._degrade_engine():
+                raise
+            return _ReadyResult(self.align_pairs_indexed(*args))
+
+        def finish():
+            try:
+                return h.finish()
+            except Exception:
+                if not self._degrade_engine():
+                    raise
+                return self.align_pairs_indexed(*args)
+
+        return _AsyncResult(finish)
+
+    def _align_async(
+        self,
+        pool_seqs,
+        qidx: np.ndarray,
+        tidx: np.ndarray,
+        with_stats: bool = False,
+        sigma_hint=None,
+        as_runs: bool = False,
+    ):
         n = len(qidx)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
         stats = np.zeros((n, 4), dtype=np.int64)
         if n == 0:
-            return (results, stats) if with_stats else results
+            return _ReadyResult((results, stats) if with_stats else results)
 
         pool_lens = np.fromiter(
             (len(b) for b in pool_seqs), dtype=np.int64, count=len(pool_seqs)
         )
         qlens_all = pool_lens[qidx]
         tlens_all = pool_lens[tidx]
-        self._lens = (qlens_all, tlens_all)
+        lens = (qlens_all, tlens_all)
         sum_lens = qlens_all + tlens_all
         kend_abs_all = np.abs(tlens_all - qlens_all)
         max_len = int(max(qlens_all.max(), tlens_all.max()))
@@ -388,7 +462,7 @@ class DenseBandAligner:
             for b, kv in enumerate(uniq_ks):
                 hi = bounds[b + 1] if b + 1 < len(bounds) else n
                 rounds[(int(kv), cap0)] = order[bounds[b] : hi].tolist()
-        self._pool = self._build_pool_indexed(pool_seqs, qidx, tidx, l_pad)
+        pool = self._build_pool_indexed(pool_seqs, qidx, tidx, l_pad, lens)
 
         # coalesce small hint-rounds into the next wider band: a tiny
         # round costs a full dispatch + tunnel round trip (~35 ms) but
@@ -467,7 +541,8 @@ class DenseBandAligner:
                     for gi, g in enumerate(groups_):
                         pk = flat[gi * blk : (gi + 1) * blk]
                         for i, key in self._collect_group(
-                            g, pk, results, stats, kk, cc, l_pad
+                            g, pk, results, stats, kk, cc, l_pad,
+                            lens, as_runs,
                         ):
                             rounds.setdefault(key, []).append(i)
 
@@ -514,7 +589,7 @@ class DenseBandAligner:
 
             if not N.available():
                 return None
-            qlens_all, tlens_all = self._lens
+            qlens_all, tlens_all = lens
             for i in idxs:
                 if qlens_all[i] + tlens_all[i] > 1 << 15:
                     return None
@@ -530,7 +605,7 @@ class DenseBandAligner:
                 x_ = int(np.count_nonzero(cigar == ord("X")))
                 i_ = int(np.count_nonzero(cigar == ord("I")))
                 d_ = int(np.count_nonzero(cigar == ord("D")))
-                if getattr(self, "_as_runs", False):
+                if as_runs:
                     ops_r, lens_r = run_length_encode(cigar)
                     results[i] = (score, (ops_r, lens_r))
                 else:
@@ -540,122 +615,141 @@ class DenseBandAligner:
                     return idxs[pos + 1 :]
             return []
 
-        while rounds or inflight:
-            if not rounds:
-                _drain_all()
-                continue
-            k, cap = min(rounds)
-            idxs = rounds.pop((k, cap))
-            if k > self.config.k_max:
-                continue  # overflow: left as None (failed pair contract)
-            qlens_all, tlens_all = self._lens
-            per_pair = 2 * (2 * max(l_pad, 128) * k)  # choices+runlen planes
-            bsz = int(
-                max(
-                    1,
-                    min(
-                        self.config.choices_budget_bytes // per_pair,
-                        self.config.max_batch,
+        def dispatch_pending():
+            """Pop every pending round and enqueue its dispatches (or
+            run it on the host oracle); returns with `rounds` empty and
+            the device busy."""
+            while rounds:
+                k, cap = min(rounds)
+                idxs = rounds.pop((k, cap))
+                if k > self.config.k_max:
+                    continue  # overflow: left as None (failed pair contract)
+                qlens_all, tlens_all = lens
+                per_pair = 2 * (2 * max(l_pad, 128) * k)  # choices+runlen planes
+                bsz = int(
+                    max(
+                        1,
+                        min(
+                            self.config.choices_budget_bytes // per_pair,
+                            self.config.max_batch,
+                        ),
+                    )
+                )
+                # clamp to a power of two: groups pad to the next pow2, so a
+                # non-pow2 bsz would allocate up to 2x the planned planes
+                bsz = 1 << (bsz.bit_length() - 1)
+                # floor the group pad at 512 (within the plane budget): each
+                # distinct b_pad is a separate server-side compile (~10-118 s
+                # over the tunnel, uncached across processes), so collapsing
+                # the tiny/leftover group sizes onto one shape costs a little
+                # padded compute and saves whole compiles
+                b_floor = min(bsz, 512)
+                first_pad = min(
+                    bsz,
+                    max(
+                        b_floor,
+                        self._next_pow2(min(len(idxs), bsz)),
                     ),
                 )
-            )
-            # clamp to a power of two: groups pad to the next pow2, so a
-            # non-pow2 bsz would allocate up to 2x the planned planes
-            bsz = 1 << (bsz.bit_length() - 1)
-            # floor the group pad at 512 (within the plane budget): each
-            # distinct b_pad is a separate server-side compile (~10-118 s
-            # over the tunnel, uncached across processes), so collapsing
-            # the tiny/leftover group sizes onto one shape costs a little
-            # padded compute and saves whole compiles
-            self._b_floor = min(bsz, 512)
-            first_pad = min(
-                bsz,
-                max(
-                    self._b_floor,
-                    self._next_pow2(min(len(idxs), bsz)),
-                ),
-            )
-            g_est = min(
-                -(-len(idxs) // bsz),
-                max(1, int(os.environ.get("ALLWAVE_WAVE_G", "1"))),
-            )
-            if g_est > 1 and not self._use_mesh():
-                cold = (
-                    self._shape_key(k, cap, l_pad, bsz, g_est)
-                    not in _COMPILED_SHAPES
+                g_est = min(
+                    -(-len(idxs) // bsz),
+                    max(1, int(os.environ.get("ALLWAVE_WAVE_G", "1"))),
                 )
-            else:
-                cold = (
-                    self._shape_key(k, cap, l_pad, first_pad)
-                    not in _COMPILED_SHAPES
-                )
-            limit = 0 if (k, cap) in initial_keys else native_max
-            if cold:
-                limit = max(limit, native_cold)
-            if 0 < len(idxs) <= limit and (
-                not cold
-                or int((qlens_all + tlens_all)[idxs].sum())
-                <= native_cold_bases
-            ):
-                # a cold leftover pays a 10-118 s server-side compile, so
-                # spend a little longer on the oracle before conceding
-                rest = _native_round(
-                    idxs, native_budget_s * (3 if cold else 1)
-                )
-                if rest is not None:
-                    if not rest:
-                        continue
-                    idxs = rest  # budget hit: the device takes the rest
-            ia = np.asarray(idxs, dtype=np.int64)
-            qlens_all, tlens_all = self._lens
-            idxs = ia[
-                np.argsort(qlens_all[ia] + tlens_all[ia], kind="stable")
-            ].tolist()
-            groups = [
-                idxs[lo : lo + bsz] for lo in range(0, len(idxs), bsz)
-            ]
-            # a short trailing group pads to bsz inside the wave; when
-            # the pow2 pad would be at most half that, dispatching it
-            # separately costs one extra enqueue (~ms) but saves
-            # (bsz - pow2(r)) rows of kernel compute and fetch bytes
-            tail = None
-            if (
-                len(groups) > 1
-                and self._next_pow2(len(groups[-1])) <= bsz // 2
-            ):
-                tail = groups.pop()
-            wave_g = max(1, int(os.environ.get("ALLWAVE_WAVE_G", "1")))
-            if len(groups) > 1 and not self._use_mesh():
-                # one dispatch per wave of <= wave_g groups (lax.map)
-                for lo2 in range(0, len(groups), wave_g):
-                    sub = groups[lo2 : lo2 + wave_g]
-                    if len(sub) > 1:
-                        buf = self._dispatch_groups(
-                            sub, k, cap, l_pad, bsz
-                        )
-                        inflight.append((sub, buf, k, cap))
-                    else:
-                        inflight.append(
-                            (
-                                sub,
-                                self._dispatch_group(
-                                    sub[0], k, cap, l_pad
-                                ),
-                                k,
-                                cap,
-                            )
-                        )
-            else:
-                for group in groups:
-                    dispatched = self._dispatch_group(
-                        group, k, cap, l_pad
+                if g_est > 1 and not self._use_mesh():
+                    cold = (
+                        self._shape_key(k, cap, l_pad, bsz, g_est)
+                        not in _COMPILED_SHAPES
                     )
-                    inflight.append(([group], dispatched, k, cap))
-            if tail is not None:
-                inflight.append(
-                    ([tail], self._dispatch_group(tail, k, cap, l_pad), k, cap)
+                else:
+                    cold = (
+                        self._shape_key(k, cap, l_pad, first_pad)
+                        not in _COMPILED_SHAPES
+                    )
+                limit = 0 if (k, cap) in initial_keys else native_max
+                if cold:
+                    limit = max(limit, native_cold)
+                if 0 < len(idxs) <= limit and (
+                    not cold
+                    or int((qlens_all + tlens_all)[idxs].sum())
+                    <= native_cold_bases
+                ):
+                    # a cold leftover pays a 10-118 s server-side compile, so
+                    # spend a little longer on the oracle before conceding
+                    rest = _native_round(
+                        idxs, native_budget_s * (3 if cold else 1)
+                    )
+                    if rest is not None:
+                        if not rest:
+                            continue
+                        idxs = rest  # budget hit: the device takes the rest
+                ia = np.asarray(idxs, dtype=np.int64)
+                idxs = ia[
+                    np.argsort(
+                        qlens_all[ia] + tlens_all[ia], kind="stable"
+                    )
+                ].tolist()
+                groups = [
+                    idxs[lo : lo + bsz] for lo in range(0, len(idxs), bsz)
+                ]
+                # a short trailing group pads to bsz inside the wave; when
+                # the pow2 pad would be at most half that, dispatching it
+                # separately costs one extra enqueue (~ms) but saves
+                # (bsz - pow2(r)) rows of kernel compute and fetch bytes
+                tail = None
+                if (
+                    len(groups) > 1
+                    and self._next_pow2(len(groups[-1])) <= bsz // 2
+                ):
+                    tail = groups.pop()
+                wave_g = max(
+                    1, int(os.environ.get("ALLWAVE_WAVE_G", "1"))
                 )
-        return (results, stats) if with_stats else results
+                if len(groups) > 1 and not self._use_mesh():
+                    # one dispatch per wave of <= wave_g groups (lax.map)
+                    for lo2 in range(0, len(groups), wave_g):
+                        sub = groups[lo2 : lo2 + wave_g]
+                        if len(sub) > 1:
+                            buf = self._dispatch_groups(
+                                sub, k, cap, l_pad, bsz, pool
+                            )
+                            inflight.append((sub, buf, k, cap))
+                        else:
+                            inflight.append(
+                                (
+                                    sub,
+                                    self._dispatch_group(
+                                        sub[0], k, cap, l_pad, pool, b_floor
+                                    ),
+                                    k,
+                                    cap,
+                                )
+                            )
+                else:
+                    for group in groups:
+                        dispatched = self._dispatch_group(
+                            group, k, cap, l_pad, pool, b_floor
+                        )
+                        inflight.append(([group], dispatched, k, cap))
+                if tail is not None:
+                    inflight.append(
+                        (
+                            [tail],
+                            self._dispatch_group(
+                                tail, k, cap, l_pad, pool, b_floor
+                            ),
+                            k,
+                            cap,
+                        )
+                    )
+
+        def finish():
+            while rounds or inflight:
+                _drain_all()
+                dispatch_pending()
+            return (results, stats) if with_stats else results
+
+        dispatch_pending()
+        return _AsyncResult(finish)
 
     def _shape_key(self, k, run_cap, l_pad, b_pad, g=1):
         """Executable identity for one dispatch: compiled code is keyed
@@ -671,7 +765,7 @@ class DenseBandAligner:
                 impl = "xla"
         return (impl, self._use_mesh(), k, run_cap, l_pad, b_pad, g)
 
-    def _dispatch_groups(self, groups, k, run_cap, l_pad, bsz):
+    def _dispatch_groups(self, groups, k, run_cap, l_pad, bsz, pool):
         """Enqueue ONE dispatch covering len(groups) sub-batches of bsz
         pairs each (dense.dense_align_packed_groups: lax.map reuses one
         sub-batch's plane scratch across the wave); returns the
@@ -679,7 +773,7 @@ class DenseBandAligner:
         pool-row-0/length-0 rows (same contract as _dispatch_group)."""
         import jax.numpy as jnp
 
-        pool_dev, qidx, tidx, qlens, tlens = self._pool
+        pool_dev, qidx, tidx, qlens, tlens = pool
         G = len(groups)
         _COMPILED_SHAPES.add(self._shape_key(k, run_cap, l_pad, bsz, G))
         qi = np.zeros((G, bsz), np.int32)
@@ -711,16 +805,14 @@ class DenseBandAligner:
             impl,
         )
 
-    def _dispatch_group(self, group, k, run_cap, l_pad):
+    def _dispatch_group(self, group, k, run_cap, l_pad, pool, b_floor=1):
         """Enqueue one fused forward+traceback dispatch (the sequence
         pool is already device-resident — see _build_pool); returns the
         in-flight device buffer (not yet transferred)."""
         import jax.numpy as jnp
 
-        pool_dev, qidx, tidx, qlens, tlens = self._pool
-        b_pad = max(
-            self._next_pow2(len(group)), getattr(self, "_b_floor", 1)
-        )
+        pool_dev, qidx, tidx, qlens, tlens = pool
+        b_pad = max(self._next_pow2(len(group)), b_floor)
         _COMPILED_SHAPES.add(self._shape_key(k, run_cap, l_pad, b_pad))
         gi = np.asarray(group, dtype=np.int64)
         pad = b_pad - len(group)
@@ -752,7 +844,8 @@ class DenseBandAligner:
         )
 
     def _collect_group(
-        self, group, packed, results, stats, k, run_cap, l_pad
+        self, group, packed, results, stats, k, run_cap, l_pad,
+        pair_lens, as_runs,
     ) -> List[Tuple[int, Tuple[int, int]]]:
         """Host-side unpack of one group's packed result rows (already
         fetched by the caller's _drain_all); fills certified results and
@@ -768,7 +861,6 @@ class DenseBandAligner:
         good = (cert == 1) & (overflow == 0)
         full_cap = 2 * l_pad + 8
 
-        as_runs = getattr(self, "_as_runs", False)
         if not as_runs:
             cigars = expand_runs_batch(ops, lens, nruns)
         ng = len(group)  # rows past ng are batch padding
@@ -801,7 +893,7 @@ class DenseBandAligner:
                 # re-queueing would loop; leave as None (failed-pair
                 # contract, same guard as segmented.py)
             else:
-                kend_abs = abs(int(self._lens[1][i] - self._lens[0][i]))
+                kend_abs = abs(int(pair_lens[1][i] - pair_lens[0][i]))
                 # strict widening = the next LADDER rung (doubling can
                 # overshoot k_max and drop a pair the next rung would
                 # certify); at the top rung the pair fails for good
@@ -815,7 +907,7 @@ class DenseBandAligner:
                     # no banded score to size from: jump ~2x, on-ladder
                     nk = max(self._round_k(2 * k), nup)
                 k_full = self._round_k(
-                    int(self._lens[0][i] + self._lens[1][i]) + 1
+                    int(pair_lens[0][i] + pair_lens[1][i]) + 1
                 )
                 nk = min(nk, max(k_full, nup))
                 escalate.append((i, (nk, run_cap)))
@@ -892,11 +984,35 @@ class UnifiedAligner:
     ):
         """align_pairs in pooled-index form (see
         DenseBandAligner.align_pairs_indexed)."""
+        return self.align_pairs_indexed_async(
+            pool_seqs,
+            qidx,
+            tidx,
+            with_stats=with_stats,
+            sigma_hint=sigma_hint,
+            as_runs=as_runs,
+        ).finish()
+
+    def align_pairs_indexed_async(
+        self,
+        pool_seqs,
+        qidx: np.ndarray,
+        tidx: np.ndarray,
+        with_stats: bool = False,
+        sigma_hint=None,
+        as_runs: bool = False,
+    ):
+        """Non-blocking align_pairs_indexed: every short-pair length
+        bucket is DISPATCHED (device busy) before this returns; the
+        handle's .finish() collects them, runs the long-pair segmented
+        engines, and returns the same results as the sync call. The
+        streaming pipeline uses this to orient/emit neighbouring chunks
+        while the device computes."""
         n = len(qidx)
         results: List[Optional[Tuple[int, np.ndarray]]] = [None] * n
         stats = np.zeros((n, 4), dtype=np.int64)
         if n == 0:
-            return (results, stats) if with_stats else results
+            return _ReadyResult((results, stats) if with_stats else results)
         pool_lens = np.fromiter(
             (len(b) for b in pool_seqs), dtype=np.int64, count=len(pool_seqs)
         )
@@ -909,6 +1025,7 @@ class UnifiedAligner:
         short_mask = max_lens <= self.dense_max_len
         long_idx = np.flatnonzero(~short_mask).tolist()
         short_idx = np.flatnonzero(short_mask)
+        handles: List[Tuple[np.ndarray, object]] = []
         if short_idx.size:
             # group by padded length (vectorized pow2 bucketing) to keep
             # scan lengths tight
@@ -931,56 +1048,78 @@ class UnifiedAligner:
             for pad, idxs in sorted(by_pad.items()):
                 ia = np.asarray(idxs, dtype=np.int64)
                 hint = sigma_arr[ia] if sigma_arr is not None else None
-                out, st = self.dense.align_pairs_indexed(
-                    pool_seqs,
-                    qidx[ia],
-                    tidx[ia],
-                    with_stats=True,
-                    sigma_hint=hint,
-                    as_runs=as_runs,
-                )
-                for row, (i, r) in enumerate(zip(idxs, out)):
-                    results[i] = r
-                stats[ia] = st
-        if long_idx:
-            from ..core.cigar import batch_cigar_stats
-
-            sub = [
-                (pool_seqs[qidx[i]], pool_seqs[tidx[i]]) for i in long_idx
-            ]
-            hint = (
-                [int(sigma_arr[i]) for i in long_idx]
-                if sigma_arr is not None
-                else None
-            )
-            # long pairs run the O(s*K) wavefront checkpoint-replay
-            # engine first (s << L for pangenome haplotypes: ~12x faster
-            # at 100 kb, bit-exact); high-divergence pairs that blow its
-            # score cap fall back to the O(L*K) dense segmented engine
-            from .wf_segmented import WavefrontSegmentedAligner as _W
-
-            if os.environ.get("ALLWAVE_NO_WFSEG") == "1":
-                out = self.segmented.align_pairs(sub, sigma_hint=hint)
-            else:
-                out = self.wf_segmented.align_pairs(sub, sigma_hint=hint)
-                fb = [
-                    j
-                    for j, r in enumerate(out)
-                    if r is None or r is _W.DENSE_FALLBACK
-                ]
-                if fb:
-                    dense_out = self.segmented.align_pairs(
-                        [sub[j] for j in fb],
-                        sigma_hint=(
-                            [hint[j] for j in fb] if hint is not None else None
+                handles.append(
+                    (
+                        ia,
+                        self.dense.align_pairs_indexed_async(
+                            pool_seqs,
+                            qidx[ia],
+                            tidx[ia],
+                            with_stats=True,
+                            sigma_hint=hint,
+                            as_runs=as_runs,
                         ),
                     )
-                    for j, r in zip(fb, dense_out):
-                        out[j] = r
-            st = batch_cigar_stats(
-                [r[1] if r is not None else np.zeros(0, np.uint8) for r in out]
-            )
-            for row, (i, r) in enumerate(zip(long_idx, out)):
-                results[i] = r
-                stats[i] = st[row]
-        return (results, stats) if with_stats else results
+                )
+
+        def finish():
+            for ia, h in handles:
+                out, st = h.finish()
+                for i, r in zip(ia.tolist(), out):
+                    results[i] = r
+                stats[ia] = st
+            if long_idx:
+                self._align_long(
+                    pool_seqs, qidx, tidx, long_idx, sigma_arr,
+                    results, stats,
+                )
+            return (results, stats) if with_stats else results
+
+        return _AsyncResult(finish)
+
+    def _align_long(
+        self, pool_seqs, qidx, tidx, long_idx, sigma_arr, results, stats
+    ):
+        """Long-pair leg of align_pairs_indexed: O(s*K) wavefront
+        checkpoint-replay first, dense segmented fallback. Fills
+        results/stats in place."""
+        from ..core.cigar import batch_cigar_stats
+
+        sub = [
+            (pool_seqs[qidx[i]], pool_seqs[tidx[i]]) for i in long_idx
+        ]
+        hint = (
+            [int(sigma_arr[i]) for i in long_idx]
+            if sigma_arr is not None
+            else None
+        )
+        # long pairs run the O(s*K) wavefront checkpoint-replay
+        # engine first (s << L for pangenome haplotypes: ~12x faster
+        # at 100 kb, bit-exact); high-divergence pairs that blow its
+        # score cap fall back to the O(L*K) dense segmented engine
+        from .wf_segmented import WavefrontSegmentedAligner as _W
+
+        if os.environ.get("ALLWAVE_NO_WFSEG") == "1":
+            out = self.segmented.align_pairs(sub, sigma_hint=hint)
+        else:
+            out = self.wf_segmented.align_pairs(sub, sigma_hint=hint)
+            fb = [
+                j
+                for j, r in enumerate(out)
+                if r is None or r is _W.DENSE_FALLBACK
+            ]
+            if fb:
+                dense_out = self.segmented.align_pairs(
+                    [sub[j] for j in fb],
+                    sigma_hint=(
+                        [hint[j] for j in fb] if hint is not None else None
+                    ),
+                )
+                for j, r in zip(fb, dense_out):
+                    out[j] = r
+        st = batch_cigar_stats(
+            [r[1] if r is not None else np.zeros(0, np.uint8) for r in out]
+        )
+        for row, (i, r) in enumerate(zip(long_idx, out)):
+            results[i] = r
+            stats[i] = st[row]
