@@ -24,7 +24,12 @@ Env knobs:
   BENCH_N_SEQS (default 128), BENCH_LEN (default 1000),
   BENCH_DIVERGENCE (default 0.02), ALLWAVE_PLATFORM (force backend),
   BENCH_CONFIGS=0 to skip the 5-config matrix,
-  BENCH_BUDGET_S (default 900): stop starting new configs past this.
+  BENCH_BUDGET_S (default 900): stop starting new configs past this,
+  BENCH_PROXY_CORES (default 16): fixed core count for the
+    multithreaded-CPU proxy (single-core oracle rate x cores),
+  BENCH_ORACLE=0 to skip per-config CPU baselines,
+  BENCH_ORACLE_SAMPLE (default 24) / BENCH_ORACLE_BUDGET_S (default 30):
+    per-config oracle sampling size / time budget.
 """
 
 import json
@@ -56,6 +61,50 @@ def _run_config(name, seqs, scores_str, sparsification, budget_left):
         return {"config": name, "error": f"{type(e).__name__}: {e}"[:2000]}
 
 
+def _oracle_baseline(al, seqs, scores_str, budget_s):
+    """Single-core CPU baseline for one config, measured with the
+    in-repo C++ oracle (csrc/wfa_oracle.cpp) on THIS config's own pair
+    list and penalty string. Method (recorded in the result so the
+    number is reproducible): take the config's sparsified pair list,
+    sample up to BENCH_ORACLE_SAMPLE pairs by even stride, align them
+    forward-forward (the synthetic cases contain no reverse strands)
+    one at a time until budget_s elapses; rate = aligned / elapsed.
+    Returns (rate | None, method dict)."""
+    from allwave_tpu import native
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.wfa.params import resolve_penalties
+
+    n_sample = int(os.environ.get("BENCH_ORACLE_SAMPLE", "24"))
+    method = {
+        "penalties": scores_str,
+        "sample": "even stride over the config's sparsified pair list",
+        "budget_s": budget_s,
+    }
+    if not native.available():
+        return None, method
+    pen = resolve_penalties(parse_scores(scores_str))
+    pairs_idx = al.get_pairs()
+    if pairs_idx.shape[0] == 0:
+        return None, method
+    stride = max(1, pairs_idx.shape[0] // n_sample)
+    sel = pairs_idx[::stride][:n_sample]
+    # warm the library handle outside the timed region
+    native.wfa_align_native(b"ACGT", b"ACGT", pen)
+    done = 0
+    t0 = time.perf_counter()
+    for i, j in sel.tolist():
+        if native.wfa_align_native(seqs[i].seq, seqs[j].seq, pen) is None:
+            break
+        done += 1
+        if time.perf_counter() - t0 >= budget_s and done >= 1:
+            break
+    dt = time.perf_counter() - t0
+    method["n_sampled"] = done
+    if done == 0 or dt <= 0:
+        return None, method
+    return done / dt, method
+
+
 def _run_config_inner(name, seqs, scores_str, sparsification, budget_left):
     from allwave_tpu.core.scores import parse_scores
     from allwave_tpu.engine.pipeline import AllPairAligner
@@ -63,14 +112,17 @@ def _run_config_inner(name, seqs, scores_str, sparsification, budget_left):
     if budget_left <= 0:
         return {"config": name, "skipped": "bench budget exhausted"}
 
-    def run_once():
-        al = AllPairAligner(
+    def make_aligner():
+        return AllPairAligner(
             seqs,
             parse_scores(scores_str),
             exclude_self=True,
             use_mash_orientation=True,
             sparsification=sparsification,
         )
+
+    def run_once():
+        al = make_aligner()
         out = []
         al.for_each_with_callback(out.append)
         return out
@@ -81,13 +133,37 @@ def _run_config_inner(name, seqs, scores_str, sparsification, budget_left):
     t0 = time.time()
     out = run_once()
     dt = time.time() - t0
-    return {
+    rate = len(out) / dt
+    # wavefront cells/s (BASELINE.json north-star metric): exact DP cell
+    # count of the full wavefront band, sum over pairs of (s+1)(2s+1)
+    cells = sum(
+        (r.score + 1) * (2 * r.score + 1) for r in out if r.score < 2**31 - 1
+    )
+    row = {
         "config": name,
         "pairs": len(out),
-        "aln_per_sec": round(len(out) / dt, 1),
+        "aln_per_sec": round(rate, 1),
         "wall_s": round(dt, 2),
         "first_run_incl_compile_s": round(warm_s, 2),
+        "wavefront_cells_per_sec": round(cells / dt),
     }
+    # per-config CPU comparator (VERDICT r2: a regime losing to one CPU
+    # core must be self-evident from the bench output)
+    if os.environ.get("BENCH_ORACLE", "1") != "0":
+        budget_s = float(os.environ.get("BENCH_ORACLE_BUDGET_S", "30"))
+        cpu_rate, method = _oracle_baseline(
+            make_aligner(), seqs, scores_str, budget_s
+        )
+        proxy_cores = int(os.environ.get("BENCH_PROXY_CORES", "16"))
+        if cpu_rate is not None:
+            row["cpu_single_core_aln_per_sec"] = round(cpu_rate, 3)
+            row["vs_single_core"] = round(rate / cpu_rate, 3)
+            row["vs_multicore_proxy"] = round(
+                rate / (cpu_rate * proxy_cores), 3
+            )
+            row["proxy_cores"] = proxy_cores
+        row["oracle_method"] = method
+    return row
 
 
 def run_config_matrix(budget_s: float):
@@ -299,9 +375,15 @@ def main():
 
     # the BASELINE.md north star is >= 10x a MULTITHREADED CPU run;
     # allwave scales ~linearly with -t (rayon over independent pairs),
-    # so single-core rate x host cores is the honest proxy
+    # so single-core rate x a representative core count is the proxy.
+    # NOTE (VERDICT r2): os.cpu_count() here is 1, which silently turned
+    # the "multicore" proxy into the single-core number — the proxy now
+    # uses a FIXED documented core count (BENCH_PROXY_CORES, default 16,
+    # a modest production host) regardless of the bench host's own size;
+    # the measured host core count is still reported for transparency.
     host_cores = os.cpu_count() or 1
-    cpu_multi = cpu_rate * host_cores
+    proxy_cores = int(os.environ.get("BENCH_PROXY_CORES", "16"))
+    cpu_multi = cpu_rate * proxy_cores
 
     extra = {
         **(
@@ -311,7 +393,12 @@ def main():
         ),
         "wavefront_cells_per_sec": round(cells_per_sec),
         "cpu_single_core_alignments_per_sec": round(cpu_rate, 2),
+        "cpu_oracle_method": {
+            "penalties": "0,5,8,2,24,1",
+            "sample": "first 32 directed pairs, forward-forward, looped >= 1 s",
+        },
         "host_cores": host_cores,
+        "proxy_cores": proxy_cores,
         "cpu_multicore_proxy_alignments_per_sec": round(cpu_multi, 2),
         "vs_multicore_proxy": round(device_rate / cpu_multi, 3),
         "pairs": len(pairs),

@@ -53,6 +53,7 @@ def _replay_all(results, seqs):
         validate_cigar(r.cigar_bytes, q, seqs[r.target_idx].seq)
 
 
+@pytest.mark.slow
 def test_microsatellite_mutations():
     """Reference: integration_tests.rs:49-83 — microsatellite
     expansion/contraction yields high-identity alignments with intact
@@ -71,6 +72,7 @@ def test_microsatellite_mutations():
         assert _coverage(r, case.sequences) > 0.95
 
 
+@pytest.mark.slow
 def test_cnv_scale_indels_detected():
     """Reference: integration_tests.rs:85-131 — CNV-scale events show up
     as single long indel runs (the reference's CNV heuristic counts
@@ -105,6 +107,7 @@ def test_cnv_scale_indels_detected():
     assert found_long, "CNV-scale indel not recovered as a long gap run"
 
 
+@pytest.mark.slow
 def test_combined_mutations_five_percent_divergence():
     """Reference: integration_tests.rs:133-214 — combined SNPs + indels
     at ~5% divergence stay well-aligned end to end."""
@@ -125,6 +128,7 @@ def test_combined_mutations_five_percent_divergence():
         assert _coverage(r, case.sequences) > 0.95
 
 
+@pytest.mark.slow
 def test_tandem_repeats_and_homopolymers():
     """Reference: integration_tests.rs:674-753 — repetitive contexts
     (where indel placement is ambiguous) still produce optimal, fully
@@ -155,6 +159,7 @@ def test_tandem_repeats_and_homopolymers():
         assert _identity(r) > 0.95
 
 
+@pytest.mark.slow
 def test_identical_sequences_are_perfect():
     """Reference: integration_tests.rs:216-260 — identical sequences
     give exactly 100% identity, full coverage, zero X/I/D ops."""

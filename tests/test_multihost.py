@@ -59,6 +59,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_jax_distributed_matches_single(tmp_path):
     # shared input FASTA
     gen = (

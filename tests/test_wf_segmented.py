@@ -101,9 +101,7 @@ def test_unified_long_pair_routing():
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
 
-@pytest.mark.skipif(
-    os.environ.get("ALLWAVE_SKIP_SLOW") == "1", reason="slow (100 kb pair)"
-)
+@pytest.mark.slow
 def test_long_sequences_100kb():
     """Reference: tests/integration_tests.rs:557-597 — a 100 kb pair
     with SNPs + indels must align end-to-end with >95% coverage and a
