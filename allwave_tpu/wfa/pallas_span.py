@@ -195,6 +195,24 @@ def dense_span_pallas(
     )
     t_tails = t_tails.astype(jnp.int32)
 
+    outs = _span_call(
+        qb0, tb0, q_heads_rev, t_tails, qlens, tlens, k0, d_lo, state,
+        pen, K, tb, d_chunk, period, n_steps, with_choices, interpret,
+    )
+    state_out = tuple(o[:B0] for o in outs[:5])
+    if with_choices:
+        return state_out, (outs[5][:, :B0], outs[6][:, :B0])
+    return state_out, None
+
+
+def _span_call(
+    qb0, tb0, q_heads_rev, t_tails, qlens, tlens, k0, d_lo, state,
+    pen, K, tb, d_chunk, period, n_steps, with_choices, interpret,
+):
+    """The pallas_call shared by both span wrappers (inputs already
+    padded to the pair tile and sliced/reversed for this span)."""
+    B = qb0.shape[0]
+    nd = n_steps // d_chunk
     nb = B // tb
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     meta_spec = pl.BlockSpec((tb, 1), lambda b, d: (b, 0), memory_space=pltpu.VMEM)
@@ -233,7 +251,7 @@ def dense_span_pallas(
         with_choices=with_choices,
         stream_period=period,
     )
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(nb, nd),
         in_specs=[smem_spec]
@@ -265,7 +283,116 @@ def dense_span_pallas(
         q_heads_rev,
         t_tails,
     )
-    state_out = tuple(o[:B0] for o in outs[:5])
+
+
+# ---------------------------------------------------------------------------
+# Hoisted group streams: the per-span XLA stream precompute above costs
+# ~8 ms per call at 100 kb shapes (four _roll_rows passes over (B, 2L)
+# arrays) — 64 sweep spans + ~49 replay spans re-derived IDENTICAL
+# structures from scratch, 113x. make_group_streams builds them ONCE
+# per dispatch group; per span the wrapper below only takes four cheap
+# dynamic slices. The Pallas kernel itself is byte-identical.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k_width", "l_pad"))
+def make_group_streams(qs, ts, qlens, tlens, k_width: int, l_pad: int):
+    """Once-per-group stream/register precompute for dense_span_pallas_pre.
+
+    Returns (q_heads_rev, t_tails, qb0d, tb0d) — all uint8:
+      q_heads_rev (B, 2L): head stream, reversed per `period` window
+          aligned to d = 0 (spans start at multiples of the segment
+          size, itself a multiple of the period, so alignment holds);
+      t_tails     (B, 2L): tail stream;
+      qb0d, tb0d  (B, 4L): DOUBLED register bases so any span start can
+          slice its K live register lanes without modular arithmetic:
+          qb0 at d_lo = qb0d[:, 2L - d_lo : 2L - d_lo + K],
+          tb0 at d_lo = tb0d[:, d_lo : d_lo + K].
+
+    B must already be a multiple of the pair tile; requires K <= 2L
+    (always true for the long-pair groups this path serves)."""
+    K = k_width
+    B = qs.shape[0]
+    D2 = 2 * l_pad
+    if K > D2:
+        raise ValueError(f"group streams need K ({K}) <= 2*l_pad ({D2})")
+    tb, d_chunk, period = _tiles_for(K, l_pad)
+    k_end, k0, slack = _band_geometry(qlens, tlens, K)
+
+    qrep = jnp.repeat(qs, 2, axis=1)  # (B, 2L)
+    trep = jnp.repeat(ts, 2, axis=1)
+    qrep_rev = qrep[:, ::-1]
+
+    q_heads = _roll_rows(qrep, 1 + k0, D2)
+    nw = D2 // period
+    q_heads_rev = q_heads.reshape(B, nw, period)[:, :, ::-1].reshape(B, D2)
+    t_tails = _roll_rows(trep, 2 - K - k0, D2)
+
+    qb0_base = _roll_rows(qrep_rev, -(1 + k0), D2)
+    tb0_base = _roll_rows(trep, 2 - k0, D2)
+    qb0d = jnp.concatenate([qb0_base, qb0_base], axis=1)
+    tb0d = jnp.concatenate([tb0_base, tb0_base], axis=1)
+    return q_heads_rev, t_tails, qb0d, tb0d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pen", "k_width", "l_pad", "n_steps", "with_choices", "interpret"
+    ),
+)
+def dense_span_pallas_pre(
+    streams,  # (q_heads_rev, t_tails, qb0d, tb0d) from make_group_streams
+    qlens,
+    tlens,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    d_lo,  # traced scalar, multiple of the stream period
+    n_steps: int,
+    state,  # (S, I1, D1, I2, D2) each (B, K) int32, B tile-padded
+    with_choices: bool,
+    interpret: bool = False,
+):
+    """dense_span_pallas with the group-level precompute hoisted out:
+    same kernel, same outputs, ~zero per-span XLA prep."""
+    q_heads_all, t_tails_all, qb0d, tb0d = streams
+    B = qlens.shape[0]
+    K = k_width
+    D2 = 2 * l_pad
+    tb, d_chunk, period = _tiles_for(K, l_pad)
+    d_chunk = min(d_chunk, n_steps)
+    if B % tb:
+        raise ValueError(f"B ({B}) must be a multiple of the pair tile ({tb})")
+    # period is NOT reduced to n_steps here: the global head stream was
+    # reversed at this exact window size, so spans must keep it (and
+    # therefore be at least one window long)
+    if n_steps % d_chunk or n_steps % period or period % d_chunk:
+        raise ValueError(
+            f"n_steps ({n_steps}) must be a multiple of the d-chunk "
+            f"({d_chunk}) and the stream period ({period})"
+        )
+    d_lo = jnp.asarray(d_lo, jnp.int32)
+    k_end, k0, slack = _band_geometry(qlens, tlens, K)
+
+    q_heads_rev = jax.lax.dynamic_slice_in_dim(
+        q_heads_all, d_lo, n_steps, axis=1
+    ).astype(jnp.int32)
+    t_tails = jax.lax.dynamic_slice_in_dim(
+        t_tails_all, d_lo, n_steps, axis=1
+    ).astype(jnp.int32)
+    qb0 = jax.lax.dynamic_slice_in_dim(
+        qb0d, D2 - d_lo, K, axis=1
+    ).astype(jnp.int32)
+    tb0 = jax.lax.dynamic_slice_in_dim(
+        tb0d, d_lo, K, axis=1
+    ).astype(jnp.int32)
+
+    outs = _span_call(
+        qb0, tb0, q_heads_rev, t_tails, qlens, tlens, k0, d_lo, state,
+        pen, K, tb, d_chunk, period, n_steps, with_choices, interpret,
+    )
+    state_out = tuple(outs[:5])
     if with_choices:
-        return state_out, (outs[5][:, :B0], outs[6][:, :B0])
+        return state_out, (outs[5], outs[6])
     return state_out, None

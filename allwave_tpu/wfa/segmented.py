@@ -27,6 +27,7 @@ impl="pallas" (VMEM-resident TPU kernel).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -238,12 +239,20 @@ def dense_sweep_ckpt(
     l_pad: int,
     ckpt_every: int,
     impl: str = "xla",
+    n_seg: Optional[int] = None,
+    interpret: bool = False,
+    span_fn=None,
 ):
     """Full score-only sweep with band-state checkpoints.
 
     Returns (scores, certificate, ckpts) where ckpts is a tuple of five
-    (n_seg, B, K) int32 arrays: component states at d = seg*ckpt_every
-    (seg 0 is the d=0 init). n_seg = 2*l_pad / ckpt_every.
+    (n_seg, B, K) int32 arrays — (n_seg, B, 2*KC) for impl="c2" — of
+    component states at d = seg*ckpt_every (seg 0 is the d=0 init).
+
+    n_seg bounds the sweep: every score lives at d = qlen+tlen, so
+    segments past ceil(max(q+t)/C) never influence a score or a
+    traceback and are skipped (callers pass the group's actual bound;
+    default covers the padded matrix, 2*l_pad/C).
 
     Deliberately NOT jitted as a whole: the python loop reuses ONE
     compiled span kernel n_seg times (jitting the sweep would inline
@@ -252,12 +261,22 @@ def dense_sweep_ckpt(
     K = k_width
     D2 = 2 * l_pad
     assert D2 % ckpt_every == 0
-    n_seg = D2 // ckpt_every
+    n_seg_full = D2 // ckpt_every
+    n_seg = n_seg_full if n_seg is None else min(n_seg, n_seg_full)
+    n_seg = max(n_seg, 1)
     k_end, k0, slack = _band_geometry(qlens, tlens, K)
 
-    span = dense_span_pallas if impl == "pallas" else dense_span_xla
+    if span_fn is not None:
+        span = lambda *a: span_fn(a[7], a[8], a[9], a[10])  # d_lo, n, state, ch
+        state = init_state(B, K, k0)
+    elif impl == "c2":
+        from .pallas_span_c2 import dense_span_pallas_c2, init_state_c2
 
-    state = init_state(B, K, k0)
+        span = functools.partial(dense_span_pallas_c2, interpret=interpret)
+        state = init_state_c2(B, K, k0)
+    else:
+        span = dense_span_pallas if impl == "pallas" else dense_span_xla
+        state = init_state(B, K, k0)
     ckpts = [state]
     for seg in range(n_seg - 1):
         state, _ = span(
@@ -290,8 +309,15 @@ def dense_sweep_ckpt(
 
     s_final = state[0]
     c_end = jnp.clip(k_end - k0, 0, K - 1)
-    scores = jnp.take_along_axis(s_final, c_end[:, None], axis=1)[:, 0]
-    feasible = (jnp.abs(k_end) <= (K - 1)) & (qlens + tlens <= D2)
+    if impl == "c2":
+        from .pallas_span_c2 import read_state_c2
+
+        scores = read_state_c2(s_final, c_end, K)
+    else:
+        scores = jnp.take_along_axis(s_final, c_end[:, None], axis=1)[:, 0]
+    feasible = (jnp.abs(k_end) <= (K - 1)) & (
+        qlens + tlens <= n_seg * ckpt_every
+    )
     scores = jnp.where(feasible, jnp.minimum(scores, INF), INF)
 
     w = jnp.maximum(slack, 0)
@@ -331,9 +357,11 @@ def dense_span_pallas(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("pen", "run_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("pen", "run_cap", "compressed", "k_width")
+)
 def traceback_segment(
-    choices_runs,  # ((n_steps, B, K) uint8 choices, same-shape runs)
+    choices_runs,  # ((n_steps, B, K) u8 choices, u8 runs) | (n_steps, B, KC) u16 merged
     d_lo,  # traced scalar: plane row r holds anti-diagonal d_lo + r + 1
     walk,  # (d, c, comp, active) each (B,) int32/bool
     bufs,  # (ops (B, run_cap) u8, lens (B, run_cap) u8, nrun (B,) i32, overflow (B,) bool)
@@ -341,13 +369,26 @@ def traceback_segment(
     tlens,
     pen: Penalties,
     run_cap: int,
+    compressed: bool = False,
+    k_width: int = 0,
 ):
     """Advance the traceback walkers through one segment's choice
     planes (same transition rules as dense.dense_traceback). Walkers
     pause when they step to d <= d_lo (resumed with the previous
-    segment) and finish at d <= 0."""
-    choices, runlens = choices_runs
-    NS, B, K = choices.shape
+    segment) and finish at d <= 0.
+
+    compressed=True: choices_runs is the c2 span kernel's single merged
+    uint16 plane (low byte: choice/ext bits, high byte: run length) at
+    compressed column (k - k0) >> 1; k_width is the NOMINAL band
+    width."""
+    if compressed:
+        choices = choices_runs
+        NS, B, KP = choices.shape
+        K = k_width
+    else:
+        choices, runlens = choices_runs
+        NS, B, K = choices.shape
+        KP = K
     rows = jnp.arange(B, dtype=jnp.int32)
 
     d0, c0, comp0, alive0 = walk
@@ -360,9 +401,20 @@ def traceback_segment(
         r_ok = (r >= 0) & (r < NS)
         c_ok = (c >= 0) & (c < K)
         rr = jnp.clip(r, 0, NS - 1)
-        cc = jnp.clip(c, 0, K - 1)
-        byte = jnp.where(r_ok & c_ok, choices[rr, rows, cc], jnp.uint8(0))
-        run = jnp.where(r_ok & c_ok, runlens[rr, rows, cc], jnp.uint8(0))
+        cc = jnp.clip((c >> 1) if compressed else c, 0, KP - 1)
+        if compressed:
+            v = jnp.where(
+                r_ok & c_ok, choices[rr, rows, cc], jnp.uint16(0)
+            )
+            byte = (v & 0xFF).astype(jnp.uint8)
+            run = (v >> 8).astype(jnp.uint8)
+        else:
+            byte = jnp.where(
+                r_ok & c_ok, choices[rr, rows, cc], jnp.uint8(0)
+            )
+            run = jnp.where(
+                r_ok & c_ok, runlens[rr, rows, cc], jnp.uint8(0)
+            )
         return byte, run
 
     max_iters = 2 * int(NS) + 8
@@ -603,6 +655,13 @@ class SegmentedDenseAligner:
         self, pairs, group, results, k, l_pad, C, run_cap=None, full_cap=None
     ) -> List[Tuple[int, Tuple[int, int]]]:
         b_pad = self._next_pow2(len(group))
+        if self.impl == "pallas":
+            # pad straight to the kernel's pair tile so the hoisted
+            # group streams (and every span call) share one B
+            from .pallas_dense import _tiles_for
+
+            tb = _tiles_for(k, l_pad)[0]
+            b_pad = -(-b_pad // tb) * tb
         pool_dev, qidx, tidx, qlens_a, tlens_a = self._pool
         gi = np.asarray(group, dtype=np.int64)
         pad = b_pad - len(group)
@@ -611,6 +670,13 @@ class SegmentedDenseAligner:
         ti = np.concatenate([tidx[gi], np.zeros(pad, np.int32)])
         qlens = np.concatenate([qlens_a[gi], np.zeros(pad, np.int32)])
         tlens = np.concatenate([tlens_a[gi], np.zeros(pad, np.int32)])
+        # the sweep only matters up to the last anti-diagonal any score
+        # or walker can live at (d = q+t); segments past that are dead
+        # work — a 100 kb batch in a pow2-padded matrix saves ~24%
+        max_qt = int((qlens + tlens).max()) if b_pad else 0
+        n_seg_eff = max(1, -(-max_qt // C)) if max_qt else 1
+        n_seg_eff = min(n_seg_eff, (2 * l_pad) // C)
+
         qs = jnp.take(pool_dev, jnp.asarray(qi), axis=0)
         ts = jnp.take(pool_dev, jnp.asarray(ti), axis=0)
         qlens = jnp.asarray(qlens)
@@ -618,8 +684,8 @@ class SegmentedDenseAligner:
         B = b_pad
         K = k
 
-        impl = self.impl
-        if impl == "pallas":
+        impl = self.impl  # "xla" | "pallas" | "c2" (forced, tests)
+        if impl in ("pallas", "c2"):
             from .pallas_dense import K_MAX
 
             if k > K_MAX:  # beyond the VMEM ceiling; rare escalations
@@ -629,10 +695,43 @@ class SegmentedDenseAligner:
         # sums to ~18 MB of scoped VMEM — over the 16 MB limit (observed
         # Mosaic stack OOM). Cap the replay one ladder rung lower.
         span_impl = impl
-        if span_impl == "pallas" and k > K_MAX_SPAN_PALLAS:
-            span_impl = "xla"
+        if impl == "pallas":
+            if k > K_MAX_SPAN_PALLAS:
+                span_impl = "xla"
+            elif os.environ.get("ALLWAVE_SPAN_C2") == "1":
+                # parity-compressed span: half the vector work per
+                # step, merged u16 planes. OPT-IN: on v5e the span
+                # kernels are latency-bound, not width-bound (measured
+                # ~1.9-2.2 us/step for BOTH kernels at K=1536-2048), so
+                # halving the lanes does not pay for the extra per-step
+                # serial structure. Kept for TPU generations where the
+                # trade flips; bit-exact either way.
+                from .pallas_span_c2 import C2_SPAN_MIN_K
+
+                if C2_SPAN_MIN_K <= k:
+                    span_impl = impl = "c2"
+        interpret = os.environ.get("ALLWAVE_SPAN_INTERPRET") == "1"
+        span_fn = None
+        if span_impl == "pallas":
+            # hoist the stream precompute (four _roll_rows passes over
+            # (B, 2L) arrays, ~8 ms each at 100 kb) out of the per-span
+            # calls: build once per group, slice per span
+            from .pallas_span import (
+                dense_span_pallas_pre,
+                make_group_streams,
+            )
+
+            gs = make_group_streams(qs, ts, qlens, tlens, K, l_pad)
+
+            def span_fn(d_lo, n_steps, state, with_choices):
+                return dense_span_pallas_pre(
+                    gs, qlens, tlens, self.pen, K, l_pad, d_lo,
+                    n_steps, state, with_choices, interpret=interpret,
+                )
+
         scores_d, cert_d, ckpts = dense_sweep_ckpt(
-            qs, ts, qlens, tlens, self.pen, K, l_pad, C, impl
+            qs, ts, qlens, tlens, self.pen, K, l_pad, C, impl,
+            n_seg=n_seg_eff, interpret=interpret, span_fn=span_fn,
         )
         scores = np.asarray(scores_d)
         cert = np.asarray(cert_d)
@@ -682,31 +781,42 @@ class SegmentedDenseAligner:
         walk = (d, c, comp, alive)
         bufs = (ops, lens, nrun, overflow)
 
-        span = dense_span_pallas if span_impl == "pallas" else dense_span_xla
-        n_seg = (2 * l_pad) // C
+        if span_impl == "c2":
+            from .pallas_span_c2 import dense_span_pallas_c2
+
+            span = functools.partial(
+                dense_span_pallas_c2, interpret=interpret
+            )
+        elif span_impl == "pallas":
+            span = dense_span_pallas
+        else:
+            span = dense_span_xla
         # segments above every walker's START position can never be
         # visited (walkers only move to smaller d) — computable on the
         # host up front, so the replay loop runs WITHOUT any per-segment
         # device->host sync (each round trip costs ~25 ms on a tunneled
         # TPU; a 100 kb batch has 64 segments)
         d0_max = int(np.asarray(d).max()) if B else 0
-        top_seg = min(n_seg - 1, max(0, (d0_max - 1)) // C)
+        top_seg = min(n_seg_eff - 1, max(0, (d0_max - 1)) // C)
         for seg in range(top_seg, -1, -1):
             d_lo = seg * C
             state = tuple(comp_arr[seg] for comp_arr in ckpts)
-            _, planes = span(
-                qs,
-                ts,
-                qlens,
-                tlens,
-                self.pen,
-                K,
-                l_pad,
-                jnp.int32(d_lo),
-                C,
-                state,
-                True,
-            )
+            if span_fn is not None:
+                _, planes = span_fn(jnp.int32(d_lo), C, state, True)
+            else:
+                _, planes = span(
+                    qs,
+                    ts,
+                    qlens,
+                    tlens,
+                    self.pen,
+                    K,
+                    l_pad,
+                    jnp.int32(d_lo),
+                    C,
+                    state,
+                    True,
+                )
             walk, bufs = traceback_segment(
                 planes,
                 jnp.int32(d_lo),
@@ -716,14 +826,16 @@ class SegmentedDenseAligner:
                 tlens,
                 self.pen,
                 run_cap,
+                compressed=(span_impl == "c2"),
+                k_width=K,
             )
 
         from ..utils.telemetry import counters
 
         counters.add(
             pairs=len(group),
-            cells=len(group) * 2 * (2 * l_pad) * k,  # sweep + replay
-            dispatches=2 * ((2 * l_pad) // C),
+            cells=len(group) * 2 * (n_seg_eff * C) * k,  # sweep + replay
+            dispatches=2 * n_seg_eff,
         )
         ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
         still_active = np.asarray(walk[3])

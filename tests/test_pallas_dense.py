@@ -286,3 +286,49 @@ def test_engine_fallback_ladder_lands_on_xla(monkeypatch):
     for a, b in zip(out, ref):
         assert a[0] == b[0]
         np.testing.assert_array_equal(a[1], b[1])
+
+
+@pytest.mark.parametrize("scores_str", ["0,5,8,2,24,1", "0,4,6,2"])
+def test_segmented_c2_span_matches_xla(scores_str, monkeypatch):
+    """The parity-compressed span path (sweep checkpoints, merged u16
+    replay planes, compressed-column traceback) is bit-exact vs the XLA
+    segmented engine end-to-end, across segment boundaries, for both
+    penalty modes — including a high-divergence pair (escalation) and
+    an identical pair (score 0)."""
+    from allwave_tpu.wfa.params import resolve_penalties
+    from allwave_tpu.wfa.segmented import (
+        SegmentedConfig,
+        SegmentedDenseAligner,
+    )
+
+    monkeypatch.setenv("ALLWAVE_SPAN_INTERPRET", "1")
+    pen = resolve_penalties(parse_scores(scores_str))
+    rng = np.random.RandomState(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    pairs = []
+    for _ in range(3):
+        L = rng.randint(380, 520)
+        q = rng.choice(bases, L)
+        t = q.copy()
+        mut = rng.rand(L) < 0.03
+        t[mut] = rng.choice(bases, mut.sum())
+        t = np.concatenate([t[:100], t[103:]])  # deletion
+        t = np.concatenate([t[:50], rng.choice(bases, 4), t[50:]])  # insert
+        pairs.append((q.tobytes(), t.tobytes()))
+    hi = rng.choice(bases, 450)
+    pairs.append((hi.tobytes(), rng.choice(bases, 430).tobytes()))  # unrelated
+    pairs.append((pairs[0][0], pairs[0][0]))  # identical
+
+    seg_x = SegmentedDenseAligner(
+        pen, SegmentedConfig(ckpt_every=256, impl="xla")
+    )
+    seg_c = SegmentedDenseAligner(
+        pen, SegmentedConfig(ckpt_every=256, impl="c2")
+    )
+    a = seg_x.align_pairs(pairs)
+    b = seg_c.align_pairs(pairs)
+    for x, y in zip(a, b):
+        assert (x is None) == (y is None)
+        if x is not None:
+            assert x[0] == y[0]
+            np.testing.assert_array_equal(x[1], y[1])
