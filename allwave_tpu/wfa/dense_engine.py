@@ -1093,13 +1093,16 @@ class UnifiedAligner:
             if sigma_arr is not None
             else None
         )
-        # long pairs run the O(s*K) wavefront checkpoint-replay
-        # engine first (s << L for pangenome haplotypes: ~12x faster
-        # at 100 kb, bit-exact); high-divergence pairs that blow its
-        # score cap fall back to the O(L*K) dense segmented engine
+        # long pairs run the DENSE segmented engine by default: with the
+        # hoisted group streams + fused replay/traceback blocks its
+        # gather-free sweep beats the wavefront engine's O(s*K) cell
+        # advantage on TPU by a wide margin (the per-score-level gathers
+        # cost ~1 ms each; the dense sweep runs ~0.2 us/step). The
+        # wavefront checkpoint-replay engine remains behind
+        # ALLWAVE_WFSEG=1 for score-only discovery and cross-checks.
         from .wf_segmented import WavefrontSegmentedAligner as _W
 
-        if os.environ.get("ALLWAVE_NO_WFSEG") == "1":
+        if os.environ.get("ALLWAVE_WFSEG") != "1":
             out = self.segmented.align_pairs(sub, sigma_hint=hint)
         else:
             out = self.wf_segmented.align_pairs(sub, sigma_hint=hint)

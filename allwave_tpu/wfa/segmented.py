@@ -361,6 +361,25 @@ def dense_span_pallas(
     jax.jit, static_argnames=("pen", "run_cap", "compressed", "k_width")
 )
 def traceback_segment(
+    choices_runs,
+    d_lo,
+    walk,
+    bufs,
+    qlens,
+    tlens,
+    pen: Penalties,
+    run_cap: int,
+    compressed: bool = False,
+    k_width: int = 0,
+):
+    """Jitted standalone wrapper over _traceback_core (see there)."""
+    return _traceback_core(
+        choices_runs, d_lo, walk, bufs, qlens, tlens, pen, run_cap,
+        compressed, k_width,
+    )
+
+
+def _traceback_core(
     choices_runs,  # ((n_steps, B, K) u8 choices, u8 runs) | (n_steps, B, KC) u16 merged
     d_lo,  # traced scalar: plane row r holds anti-diagonal d_lo + r + 1
     walk,  # (d, c, comp, active) each (B,) int32/bool
@@ -500,6 +519,56 @@ def traceback_segment(
     carry = jax.lax.while_loop(cond, body, carry)
     d, c, comp, active, ops, lens, nrun, overflow, _ = carry
     return (d, c, comp, active), (ops, lens, nrun, overflow)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pen", "k_width", "l_pad", "ckpt_every", "n_blk", "run_cap",
+        "interpret",
+    ),
+)
+def _replay_tb_block(
+    gs,  # group streams from make_group_streams
+    ckpts,  # 5 x (n_seg, B, K) int32 stacked checkpoints
+    qlens,
+    tlens,
+    seg0,  # traced scalar: highest segment index of this block
+    walk,
+    bufs,
+    pen: Penalties,
+    k_width: int,
+    l_pad: int,
+    ckpt_every: int,
+    n_blk: int,
+    run_cap: int,
+    interpret: bool = False,
+):
+    """Replay + traceback for n_blk consecutive segments (seg0 down to
+    seg0-n_blk+1) fused into ONE dispatch: per-call dispatch latency on
+    a tunneled TPU (~1.5-5 ms) otherwise dominates the whole 100 kb
+    replay chain (measured: 49 replay+traceback call pairs cost ~1 s of
+    wall while the device work is ~100 ms). Segment indices below 0
+    clamp to 0 and re-run segment 0's traceback, which is a natural
+    no-op: every walker there is already finished (d <= 0), so nothing
+    steps and nothing emits."""
+    from .pallas_span import dense_span_pallas_pre
+
+    C = ckpt_every
+    for g in range(n_blk):
+        seg = jnp.maximum(seg0 - g, 0)
+        state = tuple(
+            jax.lax.dynamic_index_in_dim(c, seg, 0, keepdims=False)
+            for c in ckpts
+        )
+        _, planes = dense_span_pallas_pre(
+            gs, qlens, tlens, pen, k_width, l_pad, seg * C, C, state,
+            True, interpret=interpret,
+        )
+        walk, bufs = _traceback_core(
+            planes, seg * C, walk, bufs, qlens, tlens, pen, run_cap
+        )
+    return walk, bufs
 
 
 # ---------------------------------------------------------------------------
@@ -798,12 +867,21 @@ class SegmentedDenseAligner:
         # TPU; a 100 kb batch has 64 segments)
         d0_max = int(np.asarray(d).max()) if B else 0
         top_seg = min(n_seg_eff - 1, max(0, (d0_max - 1)) // C)
-        for seg in range(top_seg, -1, -1):
-            d_lo = seg * C
-            state = tuple(comp_arr[seg] for comp_arr in ckpts)
-            if span_fn is not None:
-                _, planes = span_fn(jnp.int32(d_lo), C, state, True)
-            else:
+        if span_fn is not None:
+            # fused replay+traceback blocks: one dispatch per G segments
+            G = 8
+            seg = top_seg
+            while seg >= 0:
+                walk, bufs = _replay_tb_block(
+                    gs, ckpts, qlens, tlens, jnp.int32(seg), walk, bufs,
+                    pen=self.pen, k_width=K, l_pad=l_pad, ckpt_every=C,
+                    n_blk=G, run_cap=run_cap, interpret=interpret,
+                )
+                seg -= G
+        else:
+            for seg in range(top_seg, -1, -1):
+                d_lo = seg * C
+                state = tuple(comp_arr[seg] for comp_arr in ckpts)
                 _, planes = span(
                     qs,
                     ts,
@@ -817,18 +895,18 @@ class SegmentedDenseAligner:
                     state,
                     True,
                 )
-            walk, bufs = traceback_segment(
-                planes,
-                jnp.int32(d_lo),
-                walk,
-                bufs,
-                qlens,
-                tlens,
-                self.pen,
-                run_cap,
-                compressed=(span_impl == "c2"),
-                k_width=K,
-            )
+                walk, bufs = traceback_segment(
+                    planes,
+                    jnp.int32(d_lo),
+                    walk,
+                    bufs,
+                    qlens,
+                    tlens,
+                    self.pen,
+                    run_cap,
+                    compressed=(span_impl == "c2"),
+                    k_width=K,
+                )
 
         from ..utils.telemetry import counters
 

@@ -80,22 +80,21 @@ def test_dense_fallback_sentinel():
 
 
 def test_unified_long_pair_routing():
-    """UnifiedAligner routes long pairs through the wavefront engine and
-    falls back to dense-segmented transparently — results identical to
-    the dense path."""
+    """The wavefront long-pair route (ALLWAVE_WFSEG=1) stays bit-exact
+    vs the default dense-segmented route."""
     rng = np.random.RandomState(47)
     pairs = [
         _mutated_pair(rng, 20_000, 0.01),
         _mutated_pair(rng, 20_000, 0.002),
     ]
-    ua = UnifiedAligner(TWOPIECE, dense_max_len=4096)
-    out = ua.align_pairs(pairs)
-    os.environ["ALLWAVE_NO_WFSEG"] = "1"
+    os.environ["ALLWAVE_WFSEG"] = "1"  # wavefront-first routing
     try:
-        ua2 = UnifiedAligner(TWOPIECE, dense_max_len=4096)
-        ref = ua2.align_pairs(pairs)
+        ua = UnifiedAligner(TWOPIECE, dense_max_len=4096)
+        out = ua.align_pairs(pairs)
     finally:
-        del os.environ["ALLWAVE_NO_WFSEG"]
+        del os.environ["ALLWAVE_WFSEG"]
+    ua2 = UnifiedAligner(TWOPIECE, dense_max_len=4096)
+    ref = ua2.align_pairs(pairs)
     for i, (a, b) in enumerate(zip(out, ref)):
         assert a[0] == b[0], f"pair {i}"
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
