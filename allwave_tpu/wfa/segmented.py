@@ -382,7 +382,7 @@ def traceback_segment(
 def _traceback_core(
     choices_runs,  # ((n_steps, B, K) u8 choices, u8 runs) | (n_steps, B, KC) u16 merged
     d_lo,  # traced scalar: plane row r holds anti-diagonal d_lo + r + 1
-    walk,  # (d, c, comp, active) each (B,) int32/bool
+    walk,  # (d, c, comp, active, cur_op, cur_len) each (B,)
     bufs,  # (ops (B, run_cap) u8, lens (B, run_cap) u8, nrun (B,) i32, overflow (B,) bool)
     qlens,
     tlens,
@@ -395,6 +395,17 @@ def _traceback_core(
     planes (same transition rules as dense.dense_traceback). Walkers
     pause when they step to d <= d_lo (resumed with the previous
     segment) and finish at d <= 0.
+
+    Chunked-hop structure (same as dense.dense_traceback): a plain
+    one-hop-per-while-iteration loop measured ~400 us PER ITERATION on
+    the tunneled device, dominating the whole 100 kb replay chain. Here
+    CHUNK hops run inside a lax.scan per while iteration, completed
+    runs stream out as dense logs, and ONE batched scatter per chunk
+    packs them into the run buffers. The run being built rides the walk
+    carry (cur_op, cur_len) and therefore survives segment boundaries;
+    the orchestrator flushes the final open run host-side. Run
+    SPLITTING may differ from the per-hop version, the expanded
+    per-base CIGAR cannot (expand_runs_to_cigar re-expands).
 
     compressed=True: choices_runs is the c2 span kernel's single merged
     uint16 plane (low byte: choice/ext bits, high byte: run length) at
@@ -409,8 +420,9 @@ def _traceback_core(
         NS, B, K = choices.shape
         KP = K
     rows = jnp.arange(B, dtype=jnp.int32)
+    CHUNK = 32
 
-    d0, c0, comp0, alive0 = walk
+    d0, c0, comp0, alive0, cur_op0, cur_len0 = walk
     ops, lens, nrun, overflow = bufs
 
     def fetch(d, c):
@@ -436,14 +448,8 @@ def _traceback_core(
             )
         return byte, run
 
-    max_iters = 2 * int(NS) + 8
-
-    def cond(carry):
-        d, c, comp, active, ops, lens, nrun, overflow, it = carry
-        return jnp.any(active & (d > d_lo)) & (it < max_iters)
-
-    def body(carry):
-        d, c, comp, active, ops, lens, nrun, overflow, it = carry
+    def hop(carry, _):
+        d, c, comp, active, cur_op, cur_len = carry
         stepping = active & (d > d_lo)
         byte, run = fetch(d, c)
         src = (byte & 7).astype(jnp.int32)
@@ -477,24 +483,17 @@ def _traceback_core(
                 jnp.where(is_i, jnp.uint8(_OP_I), jnp.uint8(_OP_D)),
             ),
         )
-        # merged emit: adjacent same-op runs coalesce (see dense.py)
         emit_len = jnp.where(is_match_run, run_i, 1).astype(jnp.int32)
         do_emit = stepping & (is_match_run | is_x | is_i | is_d)
-        prev_idx = jnp.clip(nrun - 1, 0, run_cap - 1)
-        prev_op = ops[rows, prev_idx]
-        prev_len = lens[rows, prev_idx].astype(jnp.int32)
-        can_merge = (
-            (nrun > 0) & (prev_op == emit_op) & (prev_len + emit_len <= 255)
+
+        # merge into the carried run; a completed run flushes to the log
+        same = (cur_len > 0) & (cur_op == emit_op) & (cur_len + emit_len <= 255)
+        flush = do_emit & (cur_len > 0) & jnp.logical_not(same)
+        log_op, log_len = cur_op, cur_len
+        cur_op = jnp.where(do_emit, emit_op, cur_op)
+        cur_len = jnp.where(
+            do_emit, jnp.where(same, cur_len + emit_len, emit_len), cur_len
         )
-        idx = jnp.where(can_merge, prev_idx, jnp.clip(nrun, 0, run_cap - 1))
-        new_len = jnp.where(can_merge, prev_len + emit_len, emit_len).astype(
-            jnp.uint8
-        )
-        ops = ops.at[rows, idx].set(jnp.where(do_emit, emit_op, ops[rows, idx]))
-        lens = lens.at[rows, idx].set(
-            jnp.where(do_emit, new_len, lens[rows, idx])
-        )
-        nrun = nrun + (do_emit & ~can_merge).astype(jnp.int32)
 
         d_s = jnp.where(is_match_run, d - 2 * run_i, jnp.where(is_x, d - 2, d))
         comp_s = jnp.where(is_match_run | is_x, 0, to_gap)
@@ -506,19 +505,46 @@ def _traceback_core(
         new_c = jnp.where(is_s, c, c_g)
         new_comp = jnp.where(is_s, comp_s, comp_g)
 
-        overflow = overflow | (stepping & (nrun >= run_cap))
         finished = stepping & (new_d <= 0)
-        active = active & (~finished) & (~overflow)
-
+        active = active & jnp.logical_not(finished)
         d = jnp.where(stepping, new_d, d)
         c = jnp.where(stepping, new_c, c)
         comp = jnp.where(stepping, new_comp, comp)
-        return (d, c, comp, active, ops, lens, nrun, overflow, it + 1)
+        return (d, c, comp, active, cur_op, cur_len), (flush, log_op, log_len)
 
-    carry = (d0, c0, comp0, alive0, ops, lens, nrun, overflow, jnp.int32(0))
+    max_chunks = (2 * int(NS) + 8) // CHUNK + 2
+
+    def cond(carry):
+        d, _, _, active, _, _, _, _, _, overflow, it = carry
+        return jnp.any(active & (d > d_lo)) & (it < max_chunks)
+
+    def body(carry):
+        d, c, comp, active, cur_op, cur_len, ops, lens, nrun, overflow, it = carry
+        (d, c, comp, active, cur_op, cur_len), (fl, fo, fln) = jax.lax.scan(
+            hop, (d, c, comp, active, cur_op, cur_len), None, length=CHUNK
+        )
+        # pack the chunk's flushed runs: one batched scatter (positions
+        # strictly increase per pair, so indices are unique)
+        inc = fl.astype(jnp.int32)  # (CHUNK, B)
+        pos = nrun[None, :] + jnp.cumsum(inc, axis=0) - inc
+        oob = fl & (pos >= run_cap)
+        idx = jnp.where(fl & (pos < run_cap), pos, run_cap)  # run_cap = dropped
+        rows2 = jnp.broadcast_to(rows[None, :], idx.shape)
+        ops = ops.at[rows2, idx].set(fo, mode="drop")
+        lens = lens.at[rows2, idx].set(fln.astype(jnp.uint8), mode="drop")
+        nrun = nrun + inc.sum(0)
+        new_over = jnp.any(oob, axis=0)
+        overflow = overflow | new_over
+        active = active & jnp.logical_not(new_over)
+        return (d, c, comp, active, cur_op, cur_len, ops, lens, nrun, overflow, it + 1)
+
+    carry = (
+        d0, c0, comp0, alive0, cur_op0, cur_len0,
+        ops, lens, nrun, overflow, jnp.int32(0),
+    )
     carry = jax.lax.while_loop(cond, body, carry)
-    d, c, comp, active, ops, lens, nrun, overflow, _ = carry
-    return (d, c, comp, active), (ops, lens, nrun, overflow)
+    d, c, comp, active, cur_op, cur_len, ops, lens, nrun, overflow, _ = carry
+    return (d, c, comp, active, cur_op, cur_len), (ops, lens, nrun, overflow)
 
 
 @functools.partial(
@@ -847,7 +873,11 @@ class SegmentedDenseAligner:
         lens = jnp.zeros((B, run_cap), jnp.uint8)
         nrun = jnp.zeros((B,), jnp.int32)
         overflow = jnp.zeros((B,), jnp.bool_)
-        walk = (d, c, comp, alive)
+        walk = (
+            d, c, comp, alive,
+            jnp.zeros((B,), jnp.uint8),  # carried run op
+            jnp.zeros((B,), jnp.int32),  # carried run length
+        )
         bufs = (ops, lens, nrun, overflow)
 
         if span_impl == "c2":
@@ -916,8 +946,22 @@ class SegmentedDenseAligner:
             dispatches=2 * n_seg_eff,
         )
         ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
+        ops = ops.copy()
+        lens = lens.copy()
+        nrun = nrun.copy()
         still_active = np.asarray(walk[3])
         overflow = overflow | still_active
+        # flush the carried (still-open) run of each finished walker
+        cur_op = np.asarray(walk[4])
+        cur_len = np.asarray(walk[5])
+        for j in range(B):
+            if cur_len[j] > 0 and not overflow[j]:
+                if nrun[j] < run_cap:
+                    ops[j, nrun[j]] = cur_op[j]
+                    lens[j, nrun[j]] = cur_len[j]
+                    nrun[j] += 1
+                else:
+                    overflow[j] = True
         for j, i in enumerate(group):
             if not cert[j]:
                 continue
