@@ -1093,16 +1093,29 @@ class UnifiedAligner:
             if sigma_arr is not None
             else None
         )
-        # long pairs run the DENSE segmented engine by default: with the
-        # hoisted group streams + fused replay/traceback blocks its
-        # gather-free sweep beats the wavefront engine's O(s*K) cell
-        # advantage on TPU by a wide margin (the per-score-level gathers
-        # cost ~1 ms each; the dense sweep runs ~0.2 us/step). The
-        # wavefront checkpoint-replay engine remains behind
-        # ALLWAVE_WFSEG=1 for score-only discovery and cross-checks.
+        # Long-pair routing: on TPU the Pallas wavefront engine
+        # (wfa/pallas_wf.py) does O(s*K) work per pair with a
+        # one-dispatch sweep — at pangenome divergences that is ~40x
+        # fewer cells than the dense segmented engine's O(L*K), and
+        # round 4 measurements have it ~10x faster end-to-end at 100 kb
+        # 0.5% divergence. High-divergence pairs (hint-certified band
+        # exceeding its ceiling) fall back to the dense segmented
+        # engine per pair via the DENSE_FALLBACK sentinel. On CPU
+        # backends the XLA wavefront's gathers lose to the dense sweep,
+        # so dense stays the default there. ALLWAVE_WFSEG=0/1 forces.
         from .wf_segmented import WavefrontSegmentedAligner as _W
 
-        if os.environ.get("ALLWAVE_WFSEG") != "1":
+        wfseg = os.environ.get("ALLWAVE_WFSEG")
+        if wfseg is None:
+            import jax
+
+            use_wf = (
+                jax.default_backend() == "tpu"
+                and self.wf_segmented.impl == "pallas"
+            )
+        else:
+            use_wf = wfseg == "1"
+        if not use_wf:
             out = self.segmented.align_pairs(sub, sigma_hint=hint)
         else:
             out = self.wf_segmented.align_pairs(sub, sigma_hint=hint)

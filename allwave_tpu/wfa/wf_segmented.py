@@ -340,6 +340,40 @@ def wf_replay_traceback(
         n_steps=n_steps,
         with_history=True,
     )
+    return _traceback_window(
+        hist, buf_ckpt, s_lo, walk, bufs, pen=pen, n_steps=n_steps,
+        run_cap=run_cap,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pen", "n_steps", "run_cap")
+)
+def wf_traceback_hist(
+    hist,  # dict comp -> (n_steps, B, K): replayed planes, row j = s_lo+1+j
+    buf_ckpt,  # rolling-buffer dict (D, B, K) at score s_lo
+    s_lo,
+    walk,
+    bufs,
+    pen: Penalties,
+    n_steps: int,
+    run_cap: int,
+):
+    """Traceback over externally-replayed history planes (the Pallas
+    span kernel's hist output) — same walker semantics as
+    wf_replay_traceback, without re-running the DP here."""
+    return _traceback_window(
+        hist, buf_ckpt, s_lo, walk, bufs, pen=pen, n_steps=n_steps,
+        run_cap=run_cap,
+    )
+
+
+def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap):
+    D = buf_ckpt["m"].shape[0]
+    B, K = buf_ckpt["m"].shape[1:]
+    C = n_steps
+    W = D + C
+    rows = jnp.arange(B, dtype=jnp.int32)
 
     # ordered window: row r <-> absolute score s_lo - D + 1 + r
     order = jnp.mod(s_lo - D + 1 + jnp.arange(D, dtype=jnp.int32), D)
@@ -525,12 +559,27 @@ class WavefrontSegmentedAligner:
 
     DENSE_FALLBACK = "dense"
 
-    def __init__(self, pen: Penalties, config: Optional[WfSegConfig] = None):
+    def __init__(
+        self,
+        pen: Penalties,
+        config: Optional[WfSegConfig] = None,
+        impl: Optional[str] = None,
+    ):
+        import os
+
         from ..utils.jaxcache import enable_compilation_cache
 
         enable_compilation_cache()
         self.pen = pen
         self.config = config or WfSegConfig()
+        if impl is None:
+            env = os.environ.get("ALLWAVE_WF_IMPL")
+            impl = env if env in ("xla", "pallas") else None
+        if impl is None:
+            import jax
+
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.impl = impl
 
     @staticmethod
     def _next_pow2(n: int) -> int:
@@ -598,7 +647,15 @@ class WavefrontSegmentedAligner:
                 # so pairs with nearby hints get the SAME (K, s_cap)
                 # round key and batch together instead of dispatching
                 # in fragments.
-                ki = self._k_for_score(si // 2, kend_abs)
+                if self.impl == "pallas":
+                    # the Pallas sweep's per-level cost scales with K
+                    # and its in-kernel skip makes a generous s_cap
+                    # nearly free, so size K from a 1.2x hint margin
+                    # (cert failures still escalate exactly) instead of
+                    # the XLA path's 2x
+                    ki = self._k_for_score(hint * 6 // 5, kend_abs)
+                else:
+                    ki = self._k_for_score(si // 2, kend_abs)
                 # certifying the HINTED score itself needs
                 # _k_for_score(hint); if even that exceeds the band
                 # ceiling, the sweep is guaranteed to end in a
@@ -635,9 +692,14 @@ class WavefrontSegmentedAligner:
             per_pair = 4 * 5 * k * (n_seg * D + 2 * C + D) + k * l_est // 4
             bsz = int(max(1, min(cfg.budget_bytes // per_pair, cfg.max_batch)))
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
+            run = (
+                self._run_group_pallas
+                if self.impl == "pallas"
+                else self._run_group
+            )
             for lo in range(0, len(idxs), bsz):
                 group = idxs[lo : lo + bsz]
-                esc = self._run_group(pairs, group, results, k, s_cap)
+                esc = run(pairs, group, results, k, s_cap)
                 for i, key in esc:
                     if key is None:
                         results[i] = self.DENSE_FALLBACK
@@ -785,6 +847,142 @@ class WavefrontSegmentedAligner:
                 escalate.append((i, None))
                 continue
             cigar = expand_runs_to_cigar(ops[j], lens[j].astype(np.int64), int(nrun[j]))
+            results[i] = (int(scores_h[j]), cigar)
+        return escalate
+
+    def _run_group_pallas(self, pairs, group, results, k, s_cap):
+        """Pallas-kernel twin of _run_group: ONE-dispatch score sweep
+        with in-kernel checkpoints and all-done level skipping
+        (pallas_wf.wf_sweep_pallas), Pallas replay spans per segment,
+        and the XLA traceback walking the replayed planes. Outputs are
+        bit-identical to the XLA path (tests/test_pallas_wf.py)."""
+        import os
+
+        from . import pallas_wf as P
+
+        interpret = os.environ.get("ALLWAVE_WF_INTERPRET") == "1"
+        cfg = self.config
+        C = cfg.ckpt_every
+        tb = P._pick_tb(k, 1 << 30)
+        B = max(self._next_pow2(len(group)), tb)
+        l_pad = self._next_pow2(
+            max(
+                max(max(len(q), len(t)) for q, t in (pairs[i] for i in group)),
+                32,
+            )
+        )
+        qs = np.zeros((B, l_pad), np.uint8)
+        ts = np.zeros((B, l_pad), np.uint8)
+        qlens = np.zeros((B,), np.int32)
+        tlens = np.zeros((B,), np.int32)
+        for j, i in enumerate(group):
+            q, t = pairs[i]
+            qs[j, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+            ts[j, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+            qlens[j] = len(q)
+            tlens[j] = len(t)
+        qsj, tsj = jnp.asarray(qs), jnp.asarray(ts)
+        qlens_d, tlens_d = jnp.asarray(qlens), jnp.asarray(tlens)
+
+        (mmt, hmax_r, cmask_r, feas, seeds, done0, scores0, c_end, _k0) = (
+            P.wf_init_rows(qsj, tsj, qlens_d, tlens_d, self.pen, k, P._WS)
+        )
+        n_steps = s_cap
+        cks, done_d, scores_d = P.wf_sweep_pallas(
+            mmt, hmax_r, cmask_r, tlens_d, feas, seeds, done0, scores0,
+            self.pen, k, l_pad, n_steps, C, interpret=interpret,
+        )
+        scores_h = np.asarray(scores_d)
+        done_h = np.asarray(done_d)
+
+        # ---- certificate: same exit-and-return bound as _run_group ----
+        k_end = tlens.astype(np.int64) - qlens.astype(np.int64)
+        slack = (k - 1 - np.abs(k_end)) // 2
+        nn = np.maximum(slack, 0) + 1
+        esc_bound = 2 * np.minimum(
+            self.pen.o1 + nn * self.pen.e1,
+            (self.pen.o2 + nn * self.pen.e2)
+            if self.pen.two_piece
+            else self.pen.o1 + nn * self.pen.e1,
+        )
+        k0_h = np.minimum(0, k_end) - slack
+        full_cover = (k0_h <= -qlens) & (k0_h + (k - 1) >= tlens)
+        cert = done_h & ((scores_h < esc_bound) | full_cover)
+        cert[len(group) :] = False  # batch padding rows never walk
+
+        escalate: List[Tuple[int, Optional[Tuple[int, int]]]] = []
+        any_good = False
+        for j, i in enumerate(group):
+            if not done_h[j]:
+                ns = s_cap * cfg.s_cap_growth
+                if ns > cfg.s_cap_max:
+                    escalate.append((i, None))
+                else:
+                    escalate.append((i, (k, ns)))
+            elif not cert[j]:
+                nk = max(
+                    self._k_for_score(int(scores_h[j]), int(abs(k_end[j]))),
+                    2 * k,
+                )
+                if nk > cfg.k_max:
+                    escalate.append((i, None))
+                else:
+                    escalate.append((i, (nk, self._round_up_seg(s_cap))))
+            else:
+                any_good = True
+        if not any_good:
+            return escalate
+
+        # ---- backward replay + traceback ----
+        run_cap = self._run_cap(scores_h, cert)
+        walk = (
+            jnp.asarray(np.where(cert, scores_h, -1).astype(np.int32)),
+            c_end,
+            tlens_d,
+            jnp.zeros((B,), jnp.int32),
+            jnp.asarray(cert) & (tlens_d + qlens_d > 0),
+        )
+        bufs = (
+            jnp.zeros((B, run_cap), jnp.uint8),
+            jnp.zeros((B, run_cap), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.bool_),
+        )
+        D = self.pen.max_lookback + 1
+        smax = int(scores_h[cert].max()) if cert.any() else 0
+        top = min(max(0, (smax - 1) // C), n_steps // C - 1)
+        for seg in range(top, -1, -1):
+            ck = {c: cks[c][seg] for c in P._COMPS}
+            hist = P.wf_hist_span_pallas(
+                mmt, hmax_r, cmask_r, tlens_d, feas, jnp.int32(seg * C), ck,
+                self.pen, k, l_pad, C, interpret=interpret,
+            )
+            head = P.ckpt_to_buf(ck, jnp.int32(seg * C), self.pen, k, D)
+            walk, bufs = wf_traceback_hist(
+                hist, head, jnp.int32(seg * C), walk, bufs,
+                pen=self.pen, n_steps=C, run_cap=run_cap,
+            )
+
+        from ..utils.telemetry import counters
+
+        counters.add(
+            pairs=len(group),
+            cells=len(group) * 2 * (top + 1) * C * k,
+            dispatches=2 + top,
+        )
+
+        ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
+        still_active = np.asarray(walk[4])
+        overflow = overflow | still_active
+        for j, i in enumerate(group):
+            if not cert[j]:
+                continue
+            if overflow[j]:
+                escalate.append((i, None))
+                continue
+            cigar = expand_runs_to_cigar(
+                ops[j], lens[j].astype(np.int64), int(nrun[j])
+            )
             results[i] = (int(scores_h[j]), cigar)
         return escalate
 
