@@ -1109,9 +1109,13 @@ class UnifiedAligner:
         if wfseg is None:
             import jax
 
+            # without mash hints the wf engine would probe K/s_cap by
+            # escalation, compiling a fresh kernel shape per rung —
+            # keep hintless long pairs on the dense path
             use_wf = (
                 jax.default_backend() == "tpu"
                 and self.wf_segmented.impl == "pallas"
+                and sigma_arr is not None
             )
         else:
             use_wf = wfseg == "1"

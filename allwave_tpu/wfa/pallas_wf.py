@@ -262,11 +262,7 @@ def _wf_kernel(
     ck_d1,
     ck_i2,
     ck_d2,  # (n_ck, dep_c, B*R, 128) int32 ANY (n_ck=1 dummies when unused)
-    hm_ref,
-    hi1_ref,
-    hd1_ref,
-    hi2_ref,
-    hd2_ref,  # (n_steps|1, B*R, 128) int32 ANY
+    histp_ref,  # (n_steps|1, 5, B*R, 128) int32 ANY, packed history
     done_out,  # (tbR, 128) int32 VMEM broadcast
     scores_out,  # (tbR, 128) int32 VMEM broadcast
     # scratch
@@ -275,14 +271,17 @@ def _wf_kernel(
     rd1,
     ri2,
     rd2,  # rings: (dep_c, tbR, 128) int32 VMEM
-    win_ref,  # (tbR, Ws, 128) uint32 VMEM
-    wbase_ref,  # (tbR, 1) int32 VMEM
-    flag_ref,  # (tbR, 1) int32 VMEM
-    base_ref,  # (tbR, 1) int32 VMEM
-    done_ref,  # (tbR, LANES) int32 VMEM (replicated per pair)
-    scores_ref,  # (tbR, LANES) int32 VMEM (replicated per pair)
+    win_ref,  # (NW, ws4, 128) int32 VMEM
+    wbase_ref,  # (tbR, LANES) int32 VMEM (w4 units, subgroup-uniform)
+    flag_ref,  # (NW, LANES) int32 VMEM
+    base_ref,  # (NW, LANES) int32 VMEM
+    winpos_ref,  # (NW, ws4, 128) int32 VMEM: per-word first-stop pos
+    wbnw_ref,  # (NW, LANES) int32 VMEM: cached expand_nw(wbase)
+    done_ref,  # (tbR, 1) int32 VMEM (c_end rows only)
+    scores_ref,  # (tbR, 1) int32 VMEM (c_end rows only)
+    stage_ref,  # (2, 5, tbR, LANES) int32 VMEM: packed history staging
     sem,  # DMA sem ()
-    hsem,  # DMA sems (2, 5) for pipelined history writes
+    hsem,  # DMA sems (2,) for pipelined history writes
     *,
     pen: Penalties,
     K: int,
@@ -301,7 +300,6 @@ def _wf_kernel(
     rings = {"m": rm, "i1": ri1, "d1": rd1, "i2": ri2, "d2": rd2}
     seeds = {"m": sm_ref, "i1": si1_ref, "d1": sd1_ref, "i2": si2_ref, "d2": sd2_ref}
     cks = {"m": ck_m, "i1": ck_i1, "d1": ck_d1, "i2": ck_i2, "d2": ck_d2}
-    hists = {"m": hm_ref, "i1": hi1_ref, "d1": hd1_ref, "i2": hi2_ref, "d2": hd2_ref}
     b0 = pl.program_id(0) * tbR  # this tile's first row in the global array
 
     # ---- seed load ----
@@ -311,8 +309,14 @@ def _wf_kernel(
         )
         cp.start()
         cp.wait()
-    done_ref[:] = done_in[:]
-    scores_ref[:] = scores_in[:]
+    # non-tracked rows count as done so the all-done skip check is a
+    # plain min over the column
+    done_ref[:] = jnp.where(
+        jnp.max(cmask_ref[:], axis=1, keepdims=True) > 0,
+        done_in[:, :1],
+        1,
+    )
+    scores_ref[:] = scores_in[:, :1]
     wbase_ref[:] = jnp.full((tbR, LANES), -2 * ws, jnp.int32)  # "window empty"
     lane32 = jax.lax.broadcasted_iota(jnp.int32, (tbR, LANES), 1) & 31
 
@@ -412,7 +416,49 @@ def _wf_kernel(
     # measured 26 MB of stack at K=2048)
     i3c_base = jax.lax.broadcasted_iota(jnp.int32, (NW, _WCH, LANES), 1)
     phl_c = jax.lax.broadcasted_iota(jnp.int32, (NW, _WCH, LANES), 2) // 32
-    BIGW = jnp.int32(2**30)
+    BIGPOS = jnp.int32(2**30)
+
+    wbnw_ref[:] = expand_nw(wbase_ref[:])
+
+    def do_slides(flag, newbase4):
+        """Re-DMA the windows of flagged subgroups at newbase4 (both
+        lane-major, subgroup-uniform), then refresh the cached
+        window-space base and the per-element stop-position plane.
+        winpos[wi, s, l] = absolute h of the first stop bit in that
+        window word (BIGPOS if the word is zero) — per-level gathers
+        then need only a compare-min over it, no index arithmetic."""
+        flag_ref[:] = expand_nw(flag)
+        base_ref[:] = expand_nw(newbase4)
+
+        def dma_one(wi, _):
+            i = wi // 4
+            g = wi % 4
+
+            @pl.when(flag_ref[wi, 0] > 0)
+            def _():
+                nb4 = base_ref[wi, 0]
+                pair = (b0 + i) // R
+                sg = ((b0 + i) % R) * 4 + g
+                cp = pltpu.make_async_copy(
+                    mmt_ref.at[pair, sg, pl.ds(nb4, ws4), :],
+                    win_ref.at[wi],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+            return 0
+
+        jax.lax.fori_loop(0, NW, dma_one, 0)
+        wbase_ref[:] = jnp.where(flag > 0, newbase4, wbase_ref[:])
+        wb_nw = expand_nw(wbase_ref[:])
+        wbnw_ref[:] = wb_nw
+        for c0 in range(0, ws4, _WCH):
+            wchunk = win_ref[:, c0 : c0 + _WCH, :]
+            idxc = ((wb_nw[:, None, :] + i3c_base + c0) << 2) + phl_c
+            winpos_ref[:, c0 : c0 + _WCH, :] = jnp.where(
+                wchunk != 0, (idxc << 5) + _ctz32(wchunk), BIGPOS
+            )
 
     def extend(m_pre):
         """_extend_bm semantics on the sliding subgroup windows."""
@@ -428,57 +474,61 @@ def _wf_kernel(
             unres = unres_i != 0
             wbase4 = wbase_ref[:]  # (tbR, LANES) in w4 units, per subgroup
             sw_nw = expand_nw(sw)
-            wb_nw = expand_nw(wbase4)
+            wb_nw = wbnw_ref[:]
             off4 = (sw_nw >> 2) - wb_nw
             ph_t = (sw_nw & 3)[:, None, :]
-            swb = sw_nw[:, None, :]
-            # chunked one-hot passes over the window's sublane axis
+            # pos threshold for "stop word strictly after sw"
+            swhi_nw = ((sw_nw << 5) | 31)[:, None, :]
             w0w = jnp.zeros((NW, LANES), jnp.int32)
-            nzm = jnp.full((NW, LANES), BIGW, jnp.int32)
+            p1m = jnp.full((NW, LANES), BIGPOS, jnp.int32)
             for c0 in range(0, ws4, _WCH):
                 wchunk = win_ref[:, c0 : c0 + _WCH, :]
-                i3c = i3c_base + c0
-                idxc = ((wb_nw[:, None, :] + i3c) << 2) + phl_c
-                sel0 = (i3c == off4[:, None, :]) & (phl_c == ph_t)
+                pchunk = winpos_ref[:, c0 : c0 + _WCH, :]
+                sel0 = (i3c_base + c0 == off4[:, None, :]) & (phl_c == ph_t)
                 w0w = w0w + jnp.sum(jnp.where(sel0, wchunk, 0), axis=1)
-                nzc = (wchunk != 0) & (idxc > swb)
-                nzm = jnp.minimum(
-                    nzm, jnp.min(jnp.where(nzc, idxc, BIGW), axis=1)
+                p1m = jnp.minimum(
+                    p1m,
+                    jnp.min(
+                        jnp.where(pchunk > swhi_nw, pchunk, BIGPOS), axis=1
+                    ),
                 )
             word0 = collapse_nw(w0w, jnp.add, 0)
-            nzw = collapse_nw(nzm, jnp.minimum, 2**30)
-            nz_nw = expand_nw(nzw)[:, None, :]
-            w1w = jnp.zeros((NW, LANES), jnp.int32)
-            for c0 in range(0, ws4, _WCH):
-                wchunk = win_ref[:, c0 : c0 + _WCH, :]
-                i3c = i3c_base + c0
-                idxc = ((wb_nw[:, None, :] + i3c) << 2) + phl_c
-                sel1 = (idxc == nz_nw) & (wchunk != 0)
-                w1w = w1w + jnp.sum(jnp.where(sel1, wchunk, 0), axis=1)
-            word1 = collapse_nw(w1w, jnp.add, 0)
+            pos1 = collapse_nw(p1m, jnp.minimum, 2**30)
 
             inwin = (sw >> 2 >= wbase4) & (sw >> 2 < wbase4 + ws4) & unres
-            top_word = (wbase4 + ws4) << 2
             msk = jnp.where(sw == w0, first_mask, jnp.int32(-1))
             m0 = word0 & msk
             have0 = inwin & (m0 != 0)
-            have1 = inwin & jnp.logical_not(have0) & (nzw < top_word)
+            have1 = inwin & jnp.logical_not(have0) & (pos1 < BIGPOS)
             pos0 = (sw << 5) + _ctz32(m0)
-            pos1 = (nzw << 5) + _ctz32(word1)
             newpos = jnp.where(have0, pos0, pos1)
             newres = have0 | have1
             pos = jnp.where(unres & newres, newpos, pos)
             # in-window but nothing found: continue scanning past the top
+            top_word = (wbase4 + ws4) << 2
             sw = jnp.where(inwin & jnp.logical_not(newres), top_word, sw)
             unres = unres & jnp.logical_not(newres)
             return sw, pos, unres.astype(jnp.int32)
 
-        # each iteration the lowest unresolved lane of every flagged
-        # subgroup either resolves or advances its scan by ~ws words
-        # (its subgroup window is re-based at it), so iterations are
-        # bounded by subgroups + total scan span; generous so a
-        # bound-trip can only mean a logic bug, never a legitimate
-        # slow case
+        # ---- phase 0: coverage slides BEFORE gathering (the common
+        # case then needs exactly one gather pass; the old
+        # gather-then-slide-then-regather shape paid a full extra pass
+        # on every level any subgroup slid) ----
+        wbase4 = wbase_ref[:]
+        need = ok & ((w0 >> 2 < wbase4) | (w0 >> 2 >= wbase4 + ws4))
+
+        @pl.when(jnp.any(need))
+        def _cover():
+            flag = seg_max32(jnp.where(need, 1, 0))
+            # base at the subgroup's LOWEST ok lane so the whole
+            # subgroup stays covered after the slide
+            swmin = seg_min32(jnp.where(ok, w0 >> 2, lwp4))
+            newbase4 = jnp.clip(swmin & ~7, 0, max(lwp4 - ws4, 0))
+            do_slides(flag, newbase4)
+
+        # each while iteration the lowest unresolved lane of every
+        # flagged subgroup either resolves or advances its scan by ~ws
+        # words; generous bound so a trip can only mean a logic bug
         max_it = NW + 8 * (lwp // max(ws, 1)) + 64
 
         def cond(carry):
@@ -487,37 +537,10 @@ def _wf_kernel(
 
         def body(carry):
             sw, pos, unres, it = carry
-            # subgroups with unresolved lanes: re-DMA their window at
-            # the lowest unresolved scan word (sublane-aligned)
-            flag = seg_max32(unres)  # (tbR, LANES) int32 0/1
-            swmin = seg_min32(jnp.where(unres != 0, sw, lwp))
-            newbase4 = jnp.clip((swmin >> 2) & ~7, 0, lwp4 - ws4)
-            # window-space copies put each subgroup's flag/base at lane
-            # 0 of its own row, where Mosaic allows scalar reads
-            flag_ref[:] = expand_nw(flag)
-            base_ref[:] = expand_nw(newbase4)
-
-            def dma_one(wi, _):
-                i = wi // 4
-                g = wi % 4
-
-                @pl.when(flag_ref[wi, 0] > 0)
-                def _():
-                    nb4 = base_ref[wi, 0]
-                    pair = (b0 + i) // R
-                    sg = ((b0 + i) % R) * 4 + g
-                    cp = pltpu.make_async_copy(
-                        mmt_ref.at[pair, sg, pl.ds(nb4, ws4), :],
-                        win_ref.at[wi],
-                        sem,
-                    )
-                    cp.start()
-                    cp.wait()
-
-                return 0
-
-            jax.lax.fori_loop(0, NW, dma_one, 0)
-            wbase_ref[:] = jnp.where(flag > 0, newbase4, wbase_ref[:])
+            flag = seg_max32(unres)
+            swmin = seg_min32(jnp.where(unres != 0, sw >> 2, lwp4))
+            newbase4 = jnp.clip(swmin & ~7, 0, max(lwp4 - ws4, 0))
+            do_slides(flag, newbase4)
             sw, pos, unres = gather_round(sw, pos, unres)
             return sw, pos, unres, it + 1
 
@@ -531,27 +554,16 @@ def _wf_kernel(
             )
         return jnp.where(ok, jnp.minimum(pos, hmax), m_pre)
 
-    def _pair_rows_max(v):
-        """Max over each pair's R consecutive rows, replicated back to
-        all of them (suffix then prefix log-passes over sublanes)."""
-        x = v
-        k = 1
-        while k < R:
-            sh = pltpu.roll(x, tbR - k, axis=0)  # row i reads row i+k
-            x = jnp.maximum(x, jnp.where(row_in_pair + k < R, sh, NULLv))
-            k *= 2
-        k = 1
-        while k < R:
-            sh = pltpu.roll(x, k, axis=0)  # row i reads row i-k
-            x = jnp.maximum(x, jnp.where(row_in_pair >= k, sh, NULLv))
-            k *= 2
-        return x
-
     o1e1 = pen.o1 + pen.e1
     o2e2 = pen.o2 + pen.e2 if pen.two_piece else 0
     tlens_rows = tlens_ref[:]
     feas_rows = feas_ref[:]
     cmask = cmask_ref[:]
+    # done/scores live ONLY on the row holding each pair's end diagonal
+    # (c_end): no cross-row reduction needed per level, and rows of
+    # batch-padding pairs are treated as done for the skip check
+    cend_row = jnp.max(cmask, axis=1, keepdims=True) > 0  # (tbR, 1)
+    not_tracked = jnp.logical_not(cend_row)
     n_ck = max(n_steps // ckpt_every, 1) if ckpt_every else 0
 
     def level(j, _):
@@ -606,22 +618,7 @@ def _wf_kernel(
             m_pre = jnp.maximum(best, mis)
             m = trim(extend(m_pre))
 
-            # ---- history out: wait level j-2's copies BEFORE the ring
-            # writes below can reuse a depth-2 component's slot ----
-            if with_history:
-                pslot = jax.lax.rem(j, 2)
-
-                @pl.when(j >= 2)
-                def _wait_prev():
-                    for ci, comp in enumerate(_COMPS):
-                        dep = depths[comp]
-                        pltpu.make_async_copy(
-                            rings[comp].at[jax.lax.rem(s - 2, dep)],
-                            hists[comp].at[j - 2, pl.ds(b0, tbR), :],
-                            hsem.at[pslot, ci],
-                        ).wait()
-
-            # ---- ring writes ----
+            # ---- ring writes + packed history staging ----
             new = {"m": m, "i1": i1, "d1": d1, "i2": i2, "d2": d2}
             for comp in _COMPS:
                 dep = depths[comp]
@@ -629,41 +626,56 @@ def _wf_kernel(
                 rings[comp][pl.ds(slot, 1)] = new[comp][None]
 
             if with_history:
-                for ci, comp in enumerate(_COMPS):
-                    dep = depths[comp]
-                    pltpu.make_async_copy(
-                        rings[comp].at[jax.lax.rem(s, dep)],
-                        hists[comp].at[j, pl.ds(b0, tbR), :],
-                        hsem.at[pslot, ci],
-                    ).start()
+                pslot = jax.lax.rem(j, 2)
 
-            # ---- done / scores (replicated rows layout) ----
+                @pl.when(j >= 2)
+                def _wait_prev():
+                    pltpu.make_async_copy(
+                        stage_ref.at[pslot],
+                        histp_ref.at[j - 2, :, pl.ds(b0, tbR), :],
+                        hsem.at[pslot],
+                    ).wait()
+
+                for ci, comp in enumerate(_COMPS):
+                    stage_ref[pslot, ci] = new[comp]
+                pltpu.make_async_copy(
+                    stage_ref.at[pslot],
+                    histp_ref.at[j, :, pl.ds(b0, tbR), :],
+                    hsem.at[pslot],
+                ).start()
+
+            # ---- done / scores (tracked on the c_end row only) ----
             if "nodone" in _ABLATE:
-                masked = m
                 return
             masked = jnp.where(cmask != 0, m, NULL)
-            lanemax = jnp.max(masked, axis=1, keepdims=True)  # (tbR, 1)
-            at_end = _pair_rows_max(
-                jnp.broadcast_to(lanemax, (tbR, LANES))
-            )
+            at_end = jnp.max(masked, axis=1, keepdims=True)  # (tbR, 1)
             done_now = (
-                (at_end == tlens_rows)
-                & (feas_rows != 0)
+                (at_end == tlens_rows[:, :1])
+                & (feas_rows[:, :1] != 0)
                 & (done_ref[:] == 0)
+                & cend_row
             )
             scores_ref[:] = jnp.where(done_now, s, scores_ref[:])
             done_ref[:] = jnp.where(done_now, 1, done_ref[:])
 
-        if with_history:
-            run_level()  # replay spans always run every level
-        else:
-            @pl.when(jnp.min(done_ref[:]) == 0)
-            def _():
-                run_level()
-
+        run_level()
         return 0
 
-    jax.lax.fori_loop(0, n_steps, level, 0)
+    if with_history:
+        # replay spans always run every level
+        jax.lax.fori_loop(0, n_steps, level, 0)
+    else:
+        # sweep: STOP at the first level where every tracked pair is
+        # done — a generous s_cap then costs nothing at all (the old
+        # per-level skip branch still measured ~3 us/tile-level)
+        def lcond(j):
+            return (j < n_steps) & (jnp.min(done_ref[:]) == 0)
+
+        def lbody(j):
+            level(j, 0)
+            return j + 1
+
+        jax.lax.while_loop(lcond, lbody, jnp.int32(0))
 
     # drain outstanding history DMAs (history mode never skips levels)
     if with_history:
@@ -671,17 +683,14 @@ def _wf_kernel(
             if j_last < 0:
                 continue
             pslot = j_last % 2
-            for ci, comp in enumerate(_COMPS):
-                dep = depths[comp]
-                s_last = slo_ref[0, 0] + 1 + j_last
-                pltpu.make_async_copy(
-                    rings[comp].at[jax.lax.rem(s_last, dep)],
-                    hists[comp].at[j_last, pl.ds(b0, tbR), :],
-                    hsem.at[pslot, ci],
-                ).wait()
+            pltpu.make_async_copy(
+                stage_ref.at[pslot],
+                histp_ref.at[j_last, :, pl.ds(b0, tbR), :],
+                hsem.at[pslot],
+            ).wait()
 
-    done_out[:] = done_ref[:]
-    scores_out[:] = scores_ref[:]
+    done_out[:] = jnp.broadcast_to(done_ref[:], (tbR, LANES))
+    scores_out[:] = jnp.broadcast_to(scores_ref[:], (tbR, LANES))
 
 
 # ---------------------------------------------------------------------------
@@ -747,9 +756,8 @@ def _call_kernel(
     ]
     hist_shapes = [
         jax.ShapeDtypeStruct(
-            (n_steps if with_history else 1, B * R, LANES), jnp.int32
+            (n_steps if with_history else 1, 5, B * R, LANES), jnp.int32
         )
-        for c in _COMPS
     ]
 
     kernel = functools.partial(
@@ -768,7 +776,7 @@ def _call_kernel(
         kernel,
         grid=(nb,),
         in_specs=[smem_spec] + [rows_spec] * 6 + [any_spec] * 6,
-        out_specs=[any_spec] * 10 + [rows_spec, rows_spec],
+        out_specs=[any_spec] * 6 + [rows_spec, rows_spec],
         out_shape=ck_shapes
         + hist_shapes
         + [
@@ -785,10 +793,13 @@ def _call_kernel(
             pltpu.VMEM((tbR, LANES), jnp.int32),
             pltpu.VMEM((4 * tbR, LANES), jnp.int32),
             pltpu.VMEM((4 * tbR, LANES), jnp.int32),
-            pltpu.VMEM((tbR, LANES), jnp.int32),
-            pltpu.VMEM((tbR, LANES), jnp.int32),
+            pltpu.VMEM((4 * tbR, ws // 4, LANES), jnp.int32),
+            pltpu.VMEM((4 * tbR, LANES), jnp.int32),
+            pltpu.VMEM((tbR, 1), jnp.int32),
+            pltpu.VMEM((tbR, 1), jnp.int32),
+            pltpu.VMEM((2, 5, tbR, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -806,10 +817,14 @@ def _call_kernel(
         *[seeds[c] for c in _COMPS],
     )
     cks = dict(zip(_COMPS, outs[0:5]))
-    hists = dict(zip(_COMPS, outs[5:10]))
-    done_o = outs[10][::R, 0] > 0
-    scores_o = outs[11][::R, 0]
-    return cks, hists, done_o, scores_o
+    histp = outs[5]
+    # done/scores are tracked on each pair's c_end row
+    rowhas = jnp.max(cmask_rows, axis=1).reshape(B, R)
+    cend_rows = jnp.argmax(rowhas, axis=1).astype(jnp.int32)
+    rowsel = jnp.arange(B, dtype=jnp.int32) * R + cend_rows
+    done_o = outs[6][rowsel, 0] > 0
+    scores_o = outs[7][rowsel, 0]
+    return cks, histp, done_o, scores_o
 
 
 #: extension window width in 32-bit words per 32-diagonal subgroup.
@@ -891,7 +906,7 @@ def wf_hist_span_pallas(
     B = tlens.shape[0]
     dummy_done = jnp.zeros((B,), jnp.int32)
     dummy_scores = jnp.full((B,), -1, jnp.int32)
-    _, hists, _, _ = _call_kernel(
+    _, histp, _, _ = _call_kernel(
         mmt,
         h_max_rows,
         cmask_rows,
@@ -909,7 +924,9 @@ def wf_hist_span_pallas(
         True,
         interpret,
     )
-    return {c: _unrows(hists[c], k_width) for c in _COMPS}
+    return {
+        c: _unrows(histp[:, ci], k_width) for ci, c in enumerate(_COMPS)
+    }
 
 
 @functools.partial(jax.jit, static_argnames=("pen", "k_width", "D"))

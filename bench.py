@@ -239,7 +239,75 @@ def run_config_matrix(budget_s: float):
             left(),
         )
     )
+    # 6: n=10k scale smoke (pair build + orientation + sampled alignment)
+    if os.environ.get("BENCH_SCALE10K", "1") != "0":
+        results.append(_run_scale10k(left()))
     return results
+
+
+def _run_scale10k(budget_left):
+    """n=10k scale smoke (reference README: "scales from <100 to
+    >10,000 sequences"): build the giant:0.99 sparsified pair list over
+    10,000 synthetic ~1 kb sequences, orient + align the first chunks,
+    and record stage timings + peak RSS. Alignment is sampled (the full
+    ~1.2M-pair run is hours); the measured stages are the ones that
+    scale with n (pair build, sketching/orientation)."""
+    import resource
+
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.core.types import ConnectivitySparsification
+    from allwave_tpu.engine.pipeline import AllPairAligner
+    from allwave_tpu.testing.synth import MutationConfig, make_test_case
+
+    if budget_left <= 0:
+        return {"config": "6_scale10k", "skipped": "bench budget exhausted"}
+    try:
+        t0 = time.time()
+        cfg = MutationConfig(
+            snp_rate=0.02, insertion_rate=0.0005, deletion_rate=0.0005
+        )
+        cases = [
+            make_test_case(
+                seed=100 + i, n_sequences=500, length=1000, cfg=cfg
+            )
+            for i in range(20)
+        ]
+        seqs = _merge_cases(cases)
+        t_gen = time.time() - t0
+        t0 = time.time()
+        al = AllPairAligner(
+            seqs,
+            parse_scores("0,5,8,2,24,1"),
+            exclude_self=True,
+            use_mash_orientation=True,
+            sparsification=ConnectivitySparsification(0.99),
+        )
+        n_pairs = al.pair_count()
+        t_build = time.time() - t0
+        # align a slice: cap the streamed run by pair count via the
+        # sparsified pair list
+        sample_n = min(4000, n_pairs)
+        out = []
+        t0 = time.time()
+        for r in al:
+            out.append(r)
+            if len(out) >= sample_n:
+                break
+        t_align = time.time() - t0
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        return {
+            "config": "6_scale10k",
+            "n_seqs": len(seqs),
+            "pairs_sparsified": int(n_pairs),
+            "gen_s": round(t_gen, 2),
+            "pair_build_s": round(t_build, 2),
+            "aligned_sample": len(out),
+            "sample_align_s": round(t_align, 2),
+            "sample_aln_per_sec": round(len(out) / max(t_align, 1e-9), 1),
+            "peak_rss_mb": round(rss_mb, 1),
+        }
+    except Exception as e:
+        return {"config": "6_scale10k", "error": f"{type(e).__name__}: {e}"[:500]}
 
 
 def _probe_backend(timeout_s: float) -> bool:

@@ -161,6 +161,7 @@ def test_align_pairs_with_stats_matches_cigar_reductions():
     np.testing.assert_array_equal(stats, expect)
 
 
+@pytest.mark.slow
 def test_segmented_engine_matches_one_shot():
     """Checkpoint-replay segmented alignment (tiny segments to force
     many boundary crossings) is bit-exact vs the one-shot engine."""
@@ -221,6 +222,7 @@ def test_full_cover_band_certifies():
     validate_cigar(res[1], q, t)
 
 
+@pytest.mark.slow
 def test_escalation_steps_to_next_ladder_rung():
     """A cert-failure escalation whose certified band is exactly one
     ladder rung up must step to that rung, not double past k_max and

@@ -59,7 +59,14 @@ def _rand_pair(rng, acgt, noisy):
     return q.tobytes(), t.tobytes()
 
 
-@pytest.mark.parametrize("seed", [3, 17, 41])
+@pytest.mark.parametrize(
+    "seed",
+    [
+        pytest.param(3, marks=pytest.mark.slow),
+        17,
+        pytest.param(41, marks=pytest.mark.slow),
+    ],
+)
 def test_fuzz_engines_vs_oracle(seed):
     rng = np.random.RandomState(seed)
     acgt = np.frombuffer(b"ACGT", dtype=np.uint8)

@@ -113,7 +113,9 @@ def test_parity_sliding_windows():
 
 def test_orchestrator_pallas_route_matches_xla():
     """End-to-end: WavefrontSegmentedAligner(impl='pallas') returns the
-    same (score, cigar) as impl='xla' on small long-ish pairs."""
+    same (score, cigar) as impl='xla' on small long-ish pairs —
+    including an identical pair (score 0, pure origin-emit traceback
+    from the seed checkpoint)."""
     import os
 
     pen = resolve_penalties(parse_scores("0,5,8,2,24,1"))
@@ -125,6 +127,7 @@ def test_orchestrator_pallas_route_matches_xla():
         )
         for b in range(4)
     ]
+    pairs[3] = (pairs[3][0], pairs[3][0])  # identical pair
     os.environ["ALLWAVE_WF_INTERPRET"] = "1"
     try:
         al_p = W.WavefrontSegmentedAligner(pen, impl="pallas")

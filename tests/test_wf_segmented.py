@@ -39,7 +39,14 @@ def _mutated_pair(rng, L, div, indel=0.002):
     return q.tobytes(), t.tobytes()
 
 
-@pytest.mark.parametrize("pen", [EDIT, AFFINE, TWOPIECE], ids=["edit", "affine", "2p"])
+@pytest.mark.parametrize(
+    "pen",
+    [
+        pytest.param(EDIT, marks=pytest.mark.slow, id="edit"),
+        pytest.param(AFFINE, marks=pytest.mark.slow, id="affine"),
+        pytest.param(TWOPIECE, id="2p"),
+    ],
+)
 def test_bit_exact_vs_dense(pen):
     rng = np.random.RandomState(11)
     pairs = [_mutated_pair(rng, L, d) for L, d in
@@ -79,6 +86,7 @@ def test_dense_fallback_sentinel():
     assert wf[0] is WavefrontSegmentedAligner.DENSE_FALLBACK
 
 
+@pytest.mark.slow
 def test_unified_long_pair_routing():
     """The wavefront long-pair route (ALLWAVE_WFSEG=1) stays bit-exact
     vs the default dense-segmented route."""
