@@ -134,36 +134,42 @@ def build_mmt(qs, ts, qlens, tlens, k0, k_width: int, ws: int):
     h_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     bitw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
 
-    def one_diag(c):
-        qc = jax.lax.dynamic_slice_in_dim(q_sh, K - c, L, axis=1)
-        v = v0 - c
-        stop = (
-            (v < 0)
-            | (v >= qlens[:, None])
-            | (h_idx >= tlens[:, None])
-            | (qc != ts)
+    def one_subgroup(sg):
+        # PHASE-PACKED block for 32 diagonals c = 32*sg + d: out lane
+        # 32*ph + d holds word (4*w4 + ph) of diagonal c. Batching 32
+        # diagonals per map step amortizes the per-iteration overhead
+        # that dominated the one-diagonal-per-step build (measured
+        # ~130 ms per group at K=2048), and packs phases in-block so no
+        # full-size transpose of the (B, K, LW) cube is ever needed.
+        words = []
+        for d in range(32):
+            c = sg * 32 + d
+            qc = jax.lax.dynamic_slice_in_dim(q_sh, K - c, L, axis=1)
+            v = v0 - c
+            stop = (
+                (v < 0)
+                | (v >= qlens[:, None])
+                | (h_idx >= tlens[:, None])
+                | (qc != ts)
+            )
+            words.append(
+                jnp.sum(
+                    jnp.where(stop.reshape(B, LW, 32), bitw, jnp.uint32(0)),
+                    axis=2,
+                    dtype=jnp.uint32,
+                ).astype(jnp.int32)
+            )
+        wblk = jnp.stack(words)  # (32, B, LW)
+        wblk = jnp.pad(
+            wblk, ((0, 0), (0, 0), (0, lwp - LW)), constant_values=-1
         )
-        return jnp.sum(
-            jnp.where(stop.reshape(B, LW, 32), bitw, jnp.uint32(0)),
-            axis=2,
-            dtype=jnp.uint32,
-        )  # (B, LW)
+        wblk = wblk.reshape(32, B, lwp // 4, 4)
+        return jnp.transpose(wblk, (1, 2, 3, 0)).reshape(
+            B, lwp // 4, LANES
+        )
 
-    mm = jax.lax.map(one_diag, jnp.arange(K, dtype=jnp.int32))  # (K, B, LW)
-    # int32 view (same bits): the kernel's one-hot reductions use sum,
-    # and int32 arithmetic is the safe common denominator in Mosaic
-    mm = mm.astype(jnp.int32)
-    mm = jnp.pad(mm, ((0, 0), (0, 0), (0, lwp - LW)), constant_values=-1)
-    # PHASE-PACKED rearrangement: out[b, sg, w4, 32*ph + d] = word
-    # (4*w4 + ph) of diagonal (32*sg + d). Window DMAs must slice full
-    # 128-lane blocks (Mosaic tiling), so a 32-diagonal subgroup's
-    # window carries 4 consecutive words per diagonal on the lane axis
-    # instead of 4x the diagonals.
-    # (K, B, LWP) -> (B, K, LWP) -> (B, K/32, 32, LWP/4, 4) -> lanes
-    mm = jnp.transpose(mm, (1, 0, 2))
-    mm = mm.reshape(B, K // 32, 32, lwp // 4, 4)
-    mm = jnp.transpose(mm, (0, 1, 3, 4, 2))  # (B, K/32, lwp/4, 4, 32)
-    return mm.reshape(B, K // 32, lwp // 4, LANES)
+    mm = jax.lax.map(one_subgroup, jnp.arange(K // 32, dtype=jnp.int32))
+    return jnp.transpose(mm, (1, 0, 2, 3))  # (B, K/32, lwp/4, 128)
 
 
 @functools.partial(jax.jit, static_argnames=("pen", "k_width", "ws"))

@@ -386,14 +386,32 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
 
     s_base = s_lo - D + 1  # absolute score of window row 0
 
-    def fetch(comp, s, c):
-        r = s - s_base
-        r_ok = (r >= 0) & (r < W) & (s >= 0)
-        c_ok = (c >= 0) & (c < K)
+    # ONE gather per hop instead of nine: XLA's per-gather overhead on
+    # TPU dominated the traceback (measured ~40 ms/segment); all nine
+    # window reads share a single advanced-indexing take over the
+    # stacked (5, W, B, K) window.
+    w5 = jnp.stack([window[comp] for comp in _COMPS])
+    #              m    i1  d1  i2  d2  i1e i2e d1e d2e
+    _fcomp = jnp.array([0, 1, 2, 3, 4, 1, 3, 2, 4], jnp.int32)[:, None]
+
+    def fetch9(s, c):
+        fs = jnp.stack(
+            [s - pen.x, s, s, s, s,
+             s - pen.e1, s - pen.e2, s - pen.e1, s - pen.e2]
+        )  # (9, B)
+        fc = jnp.stack([c, c, c, c, c, c - 1, c - 1, c + 1, c + 1])
+        r = fs - s_base
+        ok = (r >= 0) & (r < W) & (fs >= 0) & (fc >= 0) & (fc < K)
         rr = jnp.clip(r, 0, W - 1)
-        cc = jnp.clip(c, 0, K - 1)
-        val = window[comp][rr, rows, cc]
-        return jnp.where(r_ok & c_ok, val, NULL)
+        cc = jnp.clip(fc, 0, K - 1)
+        B_ = s.shape[0]
+        vals = w5[
+            jnp.broadcast_to(_fcomp, (9, B_)),
+            rr,
+            jnp.broadcast_to(rows[None, :], (9, B_)),
+            cc,
+        ]
+        return jnp.where(ok, vals, NULL)
 
     s0, c0, h0, comp0, active0 = walk
     ops, lens, nrun, overflow = bufs
@@ -425,12 +443,18 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
         at_origin = is_m & (s == 0)
 
         # ----- M state (identical to batch.wavefront_traceback) -----
-        mis_v = fetch("m", s - pen.x, c)
+        (
+            mis_v,
+            cand_i1,
+            cand_d1,
+            cand_i2,
+            cand_d2,
+            i1_ext,
+            i2_ext,
+            d1_ext,
+            d2_ext,
+        ) = fetch9(s, c)
         cand_x = jnp.where(mis_v > NULL, mis_v + 1, NULL)
-        cand_i1 = fetch("i1", s, c)
-        cand_d1 = fetch("d1", s, c)
-        cand_i2 = fetch("i2", s, c)
-        cand_d2 = fetch("d2", s, c)
         pre = jnp.maximum(
             jnp.maximum(jnp.maximum(cand_x, cand_i1), jnp.maximum(cand_d1, cand_i2)),
             cand_d2,
@@ -451,13 +475,9 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
         n_match = jnp.where(at_origin, h, h - pre)
 
         # ----- gap states: extend preferred over open -----
-        i1_ext = fetch("i1", s - pen.e1, c - 1)
         i1_ext_ok = (i1_ext > NULL) & (i1_ext + 1 == h)
-        i2_ext = fetch("i2", s - pen.e2, c - 1)
         i2_ext_ok = (i2_ext > NULL) & (i2_ext + 1 == h)
-        d1_ext = fetch("d1", s - pen.e1, c + 1)
         d1_ext_ok = (d1_ext > NULL) & (d1_ext == h)
-        d2_ext = fetch("d2", s - pen.e2, c + 1)
         d2_ext_ok = (d2_ext > NULL) & (d2_ext == h)
 
         is_i = (comp == _C_I1) | (comp == _C_I2)
@@ -861,6 +881,24 @@ class WavefrontSegmentedAligner:
         from . import pallas_wf as P
 
         interpret = os.environ.get("ALLWAVE_WF_INTERPRET") == "1"
+        profile = os.environ.get("ALLWAVE_WF_PROFILE") == "1"
+        if profile:
+            import sys as _sys
+            import time as _time
+
+            _t0 = _time.perf_counter()
+
+            def _mark(label):
+                nonlocal _t0
+                import jax as _jax
+
+                t = _time.perf_counter()
+                print(
+                    f"[wfp] {label}: {1e3*(t-_t0):.1f}ms", file=_sys.stderr
+                )
+                _t0 = t
+        else:
+            _mark = lambda label: None
         cfg = self.config
         C = cfg.ckpt_every
         tb = P._pick_tb(k, 1 << 30)
@@ -887,13 +925,20 @@ class WavefrontSegmentedAligner:
         (mmt, hmax_r, cmask_r, feas, seeds, done0, scores0, c_end, _k0) = (
             P.wf_init_rows(qsj, tsj, qlens_d, tlens_d, self.pen, k, P._WS)
         )
+        if profile:
+            import jax
+
+            jax.block_until_ready(mmt)
+        _mark(f"init/build K={k} B={B}")
         n_steps = s_cap
         cks, done_d, scores_d = P.wf_sweep_pallas(
             mmt, hmax_r, cmask_r, tlens_d, feas, seeds, done0, scores0,
             self.pen, k, l_pad, n_steps, C, interpret=interpret,
         )
+        _mark("sweep dispatch")
         scores_h = np.asarray(scores_d)
         done_h = np.asarray(done_d)
+        _mark("sweep fetch(scores,done)")
 
         # ---- certificate: same exit-and-return bound as _run_group ----
         k_end = tlens.astype(np.int64) - qlens.astype(np.int64)
@@ -962,6 +1007,7 @@ class WavefrontSegmentedAligner:
                 hist, head, jnp.int32(seg * C), walk, bufs,
                 pen=self.pen, n_steps=C, run_cap=run_cap,
             )
+        _mark(f"replay+tb dispatch ({top + 1} segs)")
 
         from ..utils.telemetry import counters
 
@@ -973,6 +1019,7 @@ class WavefrontSegmentedAligner:
 
         ops, lens, nrun, overflow = (np.asarray(b) for b in bufs)
         still_active = np.asarray(walk[4])
+        _mark("traceback fetch")
         overflow = overflow | still_active
         for j, i in enumerate(group):
             if not cert[j]:
@@ -984,6 +1031,7 @@ class WavefrontSegmentedAligner:
                 ops[j], lens[j].astype(np.int64), int(nrun[j])
             )
             results[i] = (int(scores_h[j]), cigar)
+        _mark("collect")
         return escalate
 
     @staticmethod
