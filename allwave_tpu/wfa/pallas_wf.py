@@ -576,9 +576,10 @@ def _wf_kernel(
         s = slo_ref[0, 0] + 1 + j
 
         def run_level():
-            # ---- checkpoint at segment boundaries (sweep mode) ----
+            # ---- checkpoint at segment boundaries (sweep mode; slot 0
+            # is written unconditionally before the level loop) ----
             if ckpt_every:
-                @pl.when(jax.lax.rem(j, ckpt_every) == 0)
+                @pl.when((jax.lax.rem(j, ckpt_every) == 0) & (j > 0))
                 def _ck():
                     seg = j // ckpt_every
                     for comp in _COMPS:
@@ -666,6 +667,18 @@ def _wf_kernel(
 
         run_level()
         return 0
+
+    if ckpt_every:
+        # checkpoint slot 0 = the seed ring image, written even when
+        # every pair is already done at score 0 (the early-exit while
+        # below would then never run a level; the orchestrator still
+        # replays segment 0 for the origin emits)
+        for comp in _COMPS:
+            cp = pltpu.make_async_copy(
+                rings[comp], cks[comp].at[0, :, pl.ds(b0, tbR), :], sem
+            )
+            cp.start()
+            cp.wait()
 
     if with_history:
         # replay spans always run every level
