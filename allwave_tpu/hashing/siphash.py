@@ -187,6 +187,47 @@ def _pack_words(byte_matrix: np.ndarray, msg_len: int) -> np.ndarray:
     return words
 
 
+def pair_keep_mask_pooled(
+    id_bytes: list, qi: np.ndarray, ti: np.ndarray, keep_fraction: float,
+    chunk: int = 1 << 22,
+) -> np.ndarray:
+    """pair_keep_mask with the pair list in pooled-index form: id_bytes
+    is the per-sequence encoded id list; qi/ti index into it. Fully
+    vectorized (the per-pair f-string + per-row matrix fill of the list
+    path cost ~4 us/pair — 392 s for the n=10k giant:0.99 build), with
+    pairs grouped by (len_i, len_j) and processed in bounded chunks.
+    Bit-identical decisions to pair_keep_mask."""
+    n = len(id_bytes)
+    lens = np.fromiter((len(b) for b in id_bytes), np.int64, n)
+    lmax = int(lens.max()) if n else 0
+    idmat = np.zeros((n, lmax), dtype=np.uint8)
+    for r, b in enumerate(id_bytes):
+        idmat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    m = qi.shape[0]
+    out = np.zeros(m, dtype=bool)
+    la_all = lens[qi]
+    lb_all = lens[ti]
+    key = la_all * (lmax + 1) + lb_all
+    order = np.argsort(key, kind="stable")
+    bounds = np.flatnonzero(np.diff(key[order])) + 1
+    frac = float(keep_fraction)
+    for grp in np.split(order, bounds):
+        la = int(la_all[grp[0]])
+        lb = int(lb_all[grp[0]])
+        width = la + lb + 2  # ':' separator + 0xff terminator
+        for lo in range(0, grp.size, chunk):
+            g = grp[lo : lo + chunk]
+            mat = np.empty((g.size, width), dtype=np.uint8)
+            mat[:, :la] = idmat[qi[g], :la]
+            mat[:, la] = ord(":")
+            mat[:, la + 1 : la + 1 + lb] = idmat[ti[g], :lb]
+            mat[:, -1] = 0xFF
+            words = _pack_words(mat, width)
+            h = _siphash13_words(words, width)
+            out[g] = (h.astype(np.float64) / float(_MASK)) < frac
+    return out
+
+
 def siphash13_batch(messages) -> np.ndarray:
     """Hash a list of arbitrary-length byte strings (grouped by length)."""
     out = np.zeros(len(messages), dtype=_U64)

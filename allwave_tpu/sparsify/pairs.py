@@ -46,10 +46,15 @@ def apply_random_sparsification(
     (reference: iterator.rs:256-284)."""
     if pairs.shape[0] == 0:
         return pairs
-    ids = [s.id for s in sequences]
-    ids_i = [ids[int(i)] for i in pairs[:, 0]]
-    ids_j = [ids[int(j)] for j in pairs[:, 1]]
-    mask = pair_keep_mask(ids_i, ids_j, keep_fraction)
+    from ..hashing.siphash import pair_keep_mask_pooled
+
+    id_bytes = [s.id.encode("utf-8") for s in sequences]
+    mask = pair_keep_mask_pooled(
+        id_bytes,
+        pairs[:, 0].astype(np.int64),
+        pairs[:, 1].astype(np.int64),
+        keep_fraction,
+    )
     return pairs[mask]
 
 

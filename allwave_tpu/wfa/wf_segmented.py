@@ -693,6 +693,22 @@ class WavefrontSegmentedAligner:
                 continue
             rounds.setdefault((ki, si), []).append(i)
 
+        if self.impl == "pallas" and len(rounds) > 1:
+            # hint noise (mash sketches are +-30% at pangenome
+            # divergences) otherwise fragments a workload into one
+            # round per hint value — each a separate kernel-shape
+            # compile and a tiny batch. Collapse to ONE round per s_cap
+            # bucket at the bucket's widest band: a wider K is always
+            # exact, certification only gets easier, and the per-pair
+            # extra band work is far cheaper than extra sweeps.
+            by_cap: Dict[int, Tuple[int, List[int]]] = {}
+            for (ki, si), idxs in rounds.items():
+                k_prev, lst = by_cap.get(si, (0, []))
+                by_cap[si] = (max(k_prev, ki), lst + idxs)
+            rounds = {
+                (ki, si): idxs for si, (ki, idxs) in by_cap.items()
+            }
+
         while rounds:
             (k, s_cap) = min(rounds)
             idxs = rounds.pop((k, s_cap))
