@@ -670,10 +670,11 @@ class WavefrontSegmentedAligner:
                 if self.impl == "pallas":
                     # the Pallas sweep's per-level cost scales with K
                     # and its in-kernel skip makes a generous s_cap
-                    # nearly free, so size K from a 1.2x hint margin
+                    # nearly free, so size K from a 1.1x hint margin
                     # (cert failures still escalate exactly) instead of
-                    # the XLA path's 2x
-                    ki = self._k_for_score(hint * 6 // 5, kend_abs)
+                    # the XLA path's 2x; rounds then bucket below at
+                    # the bucket-max K, which absorbs most hint noise
+                    ki = self._k_for_score(hint * 11 // 10, kend_abs)
                 else:
                     ki = self._k_for_score(si // 2, kend_abs)
                 # certifying the HINTED score itself needs

@@ -220,7 +220,7 @@ class TestPenaltyConstructors:
         assert res2.score == min(8 + 2 * n, 24 + n)
 
     @pytest.mark.slow
-def test_segmented_low_memory_bit_equal(self):
+    def test_segmented_low_memory_bit_equal(self):
         """The O(s)-memory segmented engine (the biWFA-Ultralow analog,
         SURVEY §5) returns the identical score and CIGAR bytes as the
         one-shot dense engine on the same pair."""
