@@ -277,12 +277,12 @@ def _wf_kernel(
     rd1,
     ri2,
     rd2,  # rings: (dep_c, tbR, 128) int32 VMEM
-    win_ref,  # (NW, ws4, 128) int32 VMEM
-    wbase_ref,  # (tbR, LANES) int32 VMEM (w4 units, subgroup-uniform)
-    flag_ref,  # (NW, LANES) int32 VMEM
-    base_ref,  # (NW, LANES) int32 VMEM
-    winpos_ref,  # (NW, ws4, 128) int32 VMEM: per-word first-stop pos
-    wbnw_ref,  # (NW, LANES) int32 VMEM: cached expand_nw(wbase)
+    win_ref,  # (4, ws4, tbR, 128) int32 VMEM, lane-major window
+    wbase_ref,  # (tbR, LANES) int32 VMEM (WORD units, subgroup-uniform)
+    flag_ref,  # (4, tbR, LANES) int32 VMEM (lane-0-readable roll planes)
+    base_ref,  # (4, tbR, LANES) int32 VMEM
+    winpos_ref,  # (4, ws4, tbR, 128) int32 VMEM: per-word first-stop pos
+    stage_win_ref,  # (ws4, 128) int32 VMEM: slide staging
     done_ref,  # (tbR, 1) int32 VMEM (c_end rows only)
     scores_ref,  # (tbR, 1) int32 VMEM (c_end rows only)
     stage_ref,  # (2, 5, tbR, LANES) int32 VMEM: packed history staging
@@ -380,90 +380,66 @@ def _wf_kernel(
     lwp4 = lwp // 4
     lane_blk = lane_full // 32  # which 32-lane block a lane is in
 
-    def expand_nw(x):
-        """(tbR, 128) lane-major -> (NW, 128) window-space: row 4i+g,
-        lane 32*ph+d holds x[i, 32g+d] (replicated across the 4 phase
-        blocks)."""
-        outs = []
+    # Window machinery, LANE-MAJOR: win[ph, w4, i, l] = bitmap word
+    # (wbase[i, l] + 4*w4 + ph) of row i's diagonal l. Slides DMA the
+    # phase-packed HBM block into a staging buffer and un-pack it with
+    # four lane rolls PER SLIDE — the previous design's expand/collapse
+    # helpers spent ~85 lane rolls per LEVEL (a lane roll measures
+    # ~185x a sublane roll on v5e, see pallas_dense.py's transposed
+    # kernel notes), which was the entire per-level budget.
+    _WCH = min(8, ws4)
+    ph_i = jax.lax.broadcasted_iota(jnp.int32, (4, _WCH, tbR, LANES), 0)
+    w4_i = jax.lax.broadcasted_iota(jnp.int32, (4, _WCH, tbR, LANES), 1)
+    wo_chunk0 = 4 * w4_i + ph_i  # element word offset at chunk base 0
+    BIGPOS = jnp.int32(2**30)
+    lane_sub = jax.lax.broadcasted_iota(jnp.int32, (ws4, LANES), 1) // 32
+    gmask = [lane_sub == g for g in range(4)]
+
+    def do_slides(flag, newbase_w):
+        """flag / newbase_w lane-major, subgroup-uniform; newbase_w in
+        WORDS, 32-aligned (so the phase-packed source offset keeps its
+        sublane tiling). Flagged subgroups re-DMA their window block,
+        un-pack it into the lane-major window, and the stop-position
+        plane refreshes (rolls-free, chunked)."""
         for g in range(4):
             sh = (LANES - 32 * g) % LANES
-            t = pltpu.roll(x, sh, axis=1) if sh else x  # block g -> lanes 0..31
-            t32 = pltpu.roll(t, 32, axis=1)
-            t64 = pltpu.roll(t, 64, axis=1)
-            t96 = pltpu.roll(t, 96, axis=1)
-            y = jnp.where(
-                lane_blk == 0,
-                t,
-                jnp.where(lane_blk == 1, t32, jnp.where(lane_blk == 2, t64, t96)),
+            flag_ref[g] = pltpu.roll(flag, sh, axis=1) if sh else flag
+            base_ref[g] = (
+                pltpu.roll(newbase_w, sh, axis=1) if sh else newbase_w
             )
-            outs.append(y)
-        return jnp.stack(outs, axis=1).reshape(NW, LANES)
 
-    def collapse_nw(y, fold, unit):
-        """(NW, 128) window-space -> (tbR, 128) lane-major, folding the
-        4 phase blocks of each window row with `fold` (identity `unit`
-        contributions elsewhere are the caller's responsibility)."""
-        z = y.reshape(tbR, 4, LANES)
-        f = fold(
-            fold(z, pltpu.roll(z, 32, axis=2)),
-            fold(pltpu.roll(z, 64, axis=2), pltpu.roll(z, 96, axis=2)),
-        )  # every phase block now holds the fold
-        out = jnp.full((tbR, LANES), unit, jnp.int32)
-        for g in range(4):
-            vg = f[:, g, :]
-            sh = (32 * g) % LANES
-            vg = pltpu.roll(vg, sh, axis=1) if sh else vg
-            out = jnp.where(lane_blk == g, vg, out)
-        return out
+        for g in range(4):  # static: roll amounts and masks depend on g
 
-    _WCH = min(8, ws4)  # window sublanes per reduction chunk: bounds
-    # the one-hot temporaries to (NW, 8, 128) so the Mosaic stack stays
-    # far under the scoped-VMEM limit (a full (NW, ws4, 128) mask
-    # measured 26 MB of stack at K=2048)
-    i3c_base = jax.lax.broadcasted_iota(jnp.int32, (NW, _WCH, LANES), 1)
-    phl_c = jax.lax.broadcasted_iota(jnp.int32, (NW, _WCH, LANES), 2) // 32
-    BIGPOS = jnp.int32(2**30)
+            def dma_one(i, _, g=g):
+                @pl.when(flag_ref[g, i, 0] > 0)
+                def _():
+                    nb4 = base_ref[g, i, 0] >> 2
+                    pair = (b0 + i) // R
+                    sg = ((b0 + i) % R) * 4 + g
+                    cp = pltpu.make_async_copy(
+                        mmt_ref.at[pair, sg, pl.ds(nb4, ws4), :],
+                        stage_win_ref,
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+                    blk = stage_win_ref[:]
+                    for ph in range(4):
+                        sh = (32 * g - 32 * ph) % LANES
+                        v = pltpu.roll(blk, sh, axis=1) if sh else blk
+                        cur = win_ref[ph, :, i, :]
+                        win_ref[ph, :, i, :] = jnp.where(gmask[g], v, cur)
 
-    wbnw_ref[:] = expand_nw(wbase_ref[:])
+                return 0
 
-    def do_slides(flag, newbase4):
-        """Re-DMA the windows of flagged subgroups at newbase4 (both
-        lane-major, subgroup-uniform), then refresh the cached
-        window-space base and the per-element stop-position plane.
-        winpos[wi, s, l] = absolute h of the first stop bit in that
-        window word (BIGPOS if the word is zero) — per-level gathers
-        then need only a compare-min over it, no index arithmetic."""
-        flag_ref[:] = expand_nw(flag)
-        base_ref[:] = expand_nw(newbase4)
-
-        def dma_one(wi, _):
-            i = wi // 4
-            g = wi % 4
-
-            @pl.when(flag_ref[wi, 0] > 0)
-            def _():
-                nb4 = base_ref[wi, 0]
-                pair = (b0 + i) // R
-                sg = ((b0 + i) % R) * 4 + g
-                cp = pltpu.make_async_copy(
-                    mmt_ref.at[pair, sg, pl.ds(nb4, ws4), :],
-                    win_ref.at[wi],
-                    sem,
-                )
-                cp.start()
-                cp.wait()
-
-            return 0
-
-        jax.lax.fori_loop(0, NW, dma_one, 0)
-        wbase_ref[:] = jnp.where(flag > 0, newbase4, wbase_ref[:])
-        wb_nw = expand_nw(wbase_ref[:])
-        wbnw_ref[:] = wb_nw
+            jax.lax.fori_loop(0, tbR, dma_one, 0)
+        wbase_ref[:] = jnp.where(flag > 0, newbase_w, wbase_ref[:])
+        wb = wbase_ref[:]
         for c0 in range(0, ws4, _WCH):
-            wchunk = win_ref[:, c0 : c0 + _WCH, :]
-            idxc = ((wb_nw[:, None, :] + i3c_base + c0) << 2) + phl_c
-            winpos_ref[:, c0 : c0 + _WCH, :] = jnp.where(
-                wchunk != 0, (idxc << 5) + _ctz32(wchunk), BIGPOS
+            wchunk = win_ref[:, c0 : c0 + _WCH, :, :]
+            idxw = wb[None, None] + wo_chunk0 + 4 * c0
+            winpos_ref[:, c0 : c0 + _WCH, :, :] = jnp.where(
+                wchunk != 0, (idxw << 5) + _ctz32(wchunk), BIGPOS
             )
 
     def extend(m_pre):
@@ -478,59 +454,52 @@ def _wf_kernel(
 
         def gather_round(sw, pos, unres_i):
             unres = unres_i != 0
-            wbase4 = wbase_ref[:]  # (tbR, LANES) in w4 units, per subgroup
-            sw_nw = expand_nw(sw)
-            wb_nw = wbnw_ref[:]
-            off4 = (sw_nw >> 2) - wb_nw
-            ph_t = (sw_nw & 3)[:, None, :]
-            # pos threshold for "stop word strictly after sw"
-            swhi_nw = ((sw_nw << 5) | 31)[:, None, :]
-            w0w = jnp.zeros((NW, LANES), jnp.int32)
-            p1m = jnp.full((NW, LANES), BIGPOS, jnp.int32)
+            wbase = wbase_ref[:]  # (tbR, LANES), WORD units
+            oword = sw - wbase
+            swhi = (sw << 5) | 31
+            w0w = jnp.zeros((tbR, LANES), jnp.int32)
+            p1m = jnp.full((tbR, LANES), BIGPOS, jnp.int32)
             for c0 in range(0, ws4, _WCH):
-                wchunk = win_ref[:, c0 : c0 + _WCH, :]
-                pchunk = winpos_ref[:, c0 : c0 + _WCH, :]
-                sel0 = (i3c_base + c0 == off4[:, None, :]) & (phl_c == ph_t)
-                w0w = w0w + jnp.sum(jnp.where(sel0, wchunk, 0), axis=1)
+                wchunk = win_ref[:, c0 : c0 + _WCH, :, :]
+                pchunk = winpos_ref[:, c0 : c0 + _WCH, :, :]
+                sel0 = (wo_chunk0 + 4 * c0) == oword[None, None]
+                w0w = w0w + jnp.sum(jnp.where(sel0, wchunk, 0), axis=(0, 1))
                 p1m = jnp.minimum(
                     p1m,
                     jnp.min(
-                        jnp.where(pchunk > swhi_nw, pchunk, BIGPOS), axis=1
+                        jnp.where(
+                            pchunk > swhi[None, None], pchunk, BIGPOS
+                        ),
+                        axis=(0, 1),
                     ),
                 )
-            word0 = collapse_nw(w0w, jnp.add, 0)
-            pos1 = collapse_nw(p1m, jnp.minimum, 2**30)
-
-            inwin = (sw >> 2 >= wbase4) & (sw >> 2 < wbase4 + ws4) & unres
+            inwin = (oword >= 0) & (oword < ws) & unres
             msk = jnp.where(sw == w0, first_mask, jnp.int32(-1))
-            m0 = word0 & msk
+            m0 = w0w & msk
             have0 = inwin & (m0 != 0)
-            have1 = inwin & jnp.logical_not(have0) & (pos1 < BIGPOS)
+            have1 = inwin & jnp.logical_not(have0) & (p1m < BIGPOS)
             pos0 = (sw << 5) + _ctz32(m0)
-            newpos = jnp.where(have0, pos0, pos1)
+            newpos = jnp.where(have0, pos0, p1m)
             newres = have0 | have1
             pos = jnp.where(unres & newres, newpos, pos)
             # in-window but nothing found: continue scanning past the top
-            top_word = (wbase4 + ws4) << 2
-            sw = jnp.where(inwin & jnp.logical_not(newres), top_word, sw)
+            sw = jnp.where(inwin & jnp.logical_not(newres), wbase + ws, sw)
             unres = unres & jnp.logical_not(newres)
             return sw, pos, unres.astype(jnp.int32)
 
         # ---- phase 0: coverage slides BEFORE gathering (the common
-        # case then needs exactly one gather pass; the old
-        # gather-then-slide-then-regather shape paid a full extra pass
-        # on every level any subgroup slid) ----
-        wbase4 = wbase_ref[:]
-        need = ok & ((w0 >> 2 < wbase4) | (w0 >> 2 >= wbase4 + ws4))
+        # case then needs exactly one gather pass) ----
+        wbase = wbase_ref[:]
+        need = ok & ((w0 < wbase) | (w0 >= wbase + ws))
 
         @pl.when(jnp.any(need))
         def _cover():
             flag = seg_max32(jnp.where(need, 1, 0))
             # base at the subgroup's LOWEST ok lane so the whole
             # subgroup stays covered after the slide
-            swmin = seg_min32(jnp.where(ok, w0 >> 2, lwp4))
-            newbase4 = jnp.clip(swmin & ~7, 0, max(lwp4 - ws4, 0))
-            do_slides(flag, newbase4)
+            swmin = seg_min32(jnp.where(ok, w0, lwp))
+            newbase_w = jnp.clip(swmin & ~31, 0, max(lwp - ws, 0))
+            do_slides(flag, newbase_w)
 
         # each while iteration the lowest unresolved lane of every
         # flagged subgroup either resolves or advances its scan by ~ws
@@ -544,9 +513,9 @@ def _wf_kernel(
         def body(carry):
             sw, pos, unres, it = carry
             flag = seg_max32(unres)
-            swmin = seg_min32(jnp.where(unres != 0, sw >> 2, lwp4))
-            newbase4 = jnp.clip(swmin & ~7, 0, max(lwp4 - ws4, 0))
-            do_slides(flag, newbase4)
+            swmin = seg_min32(jnp.where(unres != 0, sw, lwp))
+            newbase_w = jnp.clip(swmin & ~31, 0, max(lwp - ws, 0))
+            do_slides(flag, newbase_w)
             sw, pos, unres = gather_round(sw, pos, unres)
             return sw, pos, unres, it + 1
 
@@ -808,12 +777,12 @@ def _call_kernel(
             pltpu.VMEM((depths["d1"], tbR, LANES), jnp.int32),
             pltpu.VMEM((depths["i2"], tbR, LANES), jnp.int32),
             pltpu.VMEM((depths["d2"], tbR, LANES), jnp.int32),
-            pltpu.VMEM((4 * tbR, ws // 4, LANES), jnp.int32),
+            pltpu.VMEM((4, ws // 4, tbR, LANES), jnp.int32),
             pltpu.VMEM((tbR, LANES), jnp.int32),
-            pltpu.VMEM((4 * tbR, LANES), jnp.int32),
-            pltpu.VMEM((4 * tbR, LANES), jnp.int32),
-            pltpu.VMEM((4 * tbR, ws // 4, LANES), jnp.int32),
-            pltpu.VMEM((4 * tbR, LANES), jnp.int32),
+            pltpu.VMEM((4, tbR, LANES), jnp.int32),
+            pltpu.VMEM((4, tbR, LANES), jnp.int32),
+            pltpu.VMEM((4, ws // 4, tbR, LANES), jnp.int32),
+            pltpu.VMEM((ws // 4, LANES), jnp.int32),
             pltpu.VMEM((tbR, 1), jnp.int32),
             pltpu.VMEM((tbR, 1), jnp.int32),
             pltpu.VMEM((2, 5, tbR, LANES), jnp.int32),
