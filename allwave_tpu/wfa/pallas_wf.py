@@ -408,6 +408,12 @@ def _wf_kernel(
                 pltpu.roll(newbase_w, sh, axis=1) if sh else newbase_w
             )
 
+        # per-phase any-flag gate: a typical fire slides ONE subgroup,
+        # so three of the four 32-iteration scalar scans skip entirely
+        gany = [
+            jnp.max(jnp.where(lane_full // 32 == g, flag, 0)) > 0
+            for g in range(4)
+        ]
         for g in range(4):  # static: roll amounts and masks depend on g
 
             def dma_one(i, _, g=g):
@@ -432,7 +438,10 @@ def _wf_kernel(
 
                 return 0
 
-            jax.lax.fori_loop(0, tbR, dma_one, 0)
+            @pl.when(gany[g])
+            def _scan(g=g, dma_one=dma_one):
+                jax.lax.fori_loop(0, tbR, dma_one, 0)
+
         wbase_ref[:] = jnp.where(flag > 0, newbase_w, wbase_ref[:])
         wb = wbase_ref[:]
         for c0 in range(0, ws4, _WCH):
@@ -491,6 +500,8 @@ def _wf_kernel(
         # case then needs exactly one gather pass) ----
         wbase = wbase_ref[:]
         need = ok & ((w0 < wbase) | (w0 >= wbase + ws))
+        if "noph0" in _ABLATE:
+            need = jnp.zeros_like(need)
 
         @pl.when(jnp.any(need))
         def _cover():
@@ -817,12 +828,16 @@ def _call_kernel(
 
 #: extension window width in 32-bit words per 32-diagonal subgroup.
 #: Sizing (scripts/prof_window2.py, 100 kb @0.5% pairwise divergence):
-#: adjacent diagonals lag the locally-leading one by ~dh/ds positions
-#: each (~60 at this divergence), so a 128-diagonal row's frontier
-#: spans p50=140/p99=359 words — but a 32-diagonal subgroup spans a
-#: quarter of that, which 128 words covers past p99.9. Misses are
-#: correct anyway (the slide loop re-DMAs and retries).
-_WS = 128
+#: a 32-diagonal subgroup's frontier spans ~35-90 words, and the
+#: window must ALSO give the subgroup's leading lane enough lookahead
+#: that match runs rarely overrun the top — every overrun fires the
+#: slide/retry loop, whose per-fire cost (~10 us) dominated the sweep
+#: at 128 words (one long run somewhere in the batch per level).
+#: 192 words leaves >=100 words (~3200 bases) of lookahead past the
+#: subgroup spread: overruns become ~per-thousand-level events.
+#: Misses stay correct regardless (the slide loop re-DMAs and
+#: retries).
+_WS = 192
 
 
 @functools.partial(
