@@ -96,6 +96,7 @@ def test_parity_two_piece_resident_window():
     _run_parity(0, "0,5,8,2,24,1", 128, 512)
 
 
+@pytest.mark.slow
 def test_parity_edit_distance():
     _run_parity(1, "0,1,1,1", 128, 512)
 
