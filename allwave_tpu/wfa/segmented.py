@@ -807,10 +807,14 @@ class SegmentedDenseAligner:
                     span_impl = impl = "c2"
         interpret = os.environ.get("ALLWAVE_SPAN_INTERPRET") == "1"
         span_fn = None
-        if span_impl == "pallas":
+        if span_impl == "pallas" and K <= 2 * l_pad:
             # hoist the stream precompute (four _roll_rows passes over
             # (B, 2L) arrays, ~8 ms each at 100 kb) out of the per-span
-            # calls: build once per group, slice per span
+            # calls: build once per group, slice per span. The hoisted
+            # streams need K <= 2*l_pad (make_group_streams); tiny
+            # pairs whose ladder-minimum band exceeds the whole matrix
+            # use the classic per-span path below, whose cyclic band
+            # extension handles K > 2L.
             from .pallas_span import (
                 dense_span_pallas_pre,
                 make_group_streams,
