@@ -377,8 +377,6 @@ def _wf_kernel(
     # ---- phase-packed window machinery (see build_mmt) ----
     ws4 = ws // 4
     NW = 4 * tbR
-    lwp4 = lwp // 4
-    lane_blk = lane_full // 32  # which 32-lane block a lane is in
 
     # Window machinery, LANE-MAJOR: win[ph, w4, i, l] = bitmap word
     # (wbase[i, l] + 4*w4 + ph) of row i's diagonal l. Slides DMA the
@@ -549,7 +547,6 @@ def _wf_kernel(
     # (c_end): no cross-row reduction needed per level, and rows of
     # batch-padding pairs are treated as done for the skip check
     cend_row = jnp.max(cmask, axis=1, keepdims=True) > 0  # (tbR, 1)
-    not_tracked = jnp.logical_not(cend_row)
     n_ck = max(n_steps // ckpt_every, 1) if ckpt_every else 0
 
     def level(j, _):
