@@ -285,9 +285,9 @@ def _wf_kernel(
     stage_win_ref,  # (ws4, 128) int32 VMEM: slide staging
     done_ref,  # (tbR, 1) int32 VMEM (c_end rows only)
     scores_ref,  # (tbR, 1) int32 VMEM (c_end rows only)
-    stage_ref,  # (2, 5, tbR, LANES) int32 VMEM: packed history staging
+    stage_ref,  # (8, 5, tbR, LANES) int32 VMEM: packed history staging
     sem,  # DMA sem ()
-    hsem,  # DMA sems (2,) for pipelined history writes
+    hsem,  # DMA sems (8,) for pipelined history writes
     *,
     pen: Penalties,
     K: int,
@@ -610,13 +610,16 @@ def _wf_kernel(
                 rings[comp][pl.ds(slot, 1)] = new[comp][None]
 
             if with_history:
-                pslot = jax.lax.rem(j, 2)
+                pslot = jax.lax.rem(j, 8)
 
-                @pl.when(j >= 2)
+                @pl.when(j >= 8)
                 def _wait_prev():
+                    # 8-deep staging: the copy being waited on was
+                    # issued ~8 levels (~0.1 ms) ago and has long
+                    # completed, so the wait never stalls the level
                     pltpu.make_async_copy(
                         stage_ref.at[pslot],
-                        histp_ref.at[j - 2, :, pl.ds(b0, tbR), :],
+                        histp_ref.at[j - 8, :, pl.ds(b0, tbR), :],
                         hsem.at[pslot],
                     ).wait()
 
@@ -675,10 +678,8 @@ def _wf_kernel(
 
     # drain outstanding history DMAs (history mode never skips levels)
     if with_history:
-        for j_last in (n_steps - 2, n_steps - 1):
-            if j_last < 0:
-                continue
-            pslot = j_last % 2
+        for j_last in range(max(n_steps - 8, 0), n_steps):
+            pslot = j_last % 8
             pltpu.make_async_copy(
                 stage_ref.at[pslot],
                 histp_ref.at[j_last, :, pl.ds(b0, tbR), :],
@@ -793,9 +794,9 @@ def _call_kernel(
             pltpu.VMEM((ws // 4, LANES), jnp.int32),
             pltpu.VMEM((tbR, 1), jnp.int32),
             pltpu.VMEM((tbR, 1), jnp.int32),
-            pltpu.VMEM((2, 5, tbR, LANES), jnp.int32),
+            pltpu.VMEM((8, 5, tbR, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
