@@ -416,27 +416,22 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
     s0, c0, h0, comp0, active0 = walk
     ops, lens, nrun, overflow = bufs
 
-    def emit(ops, lens, nrun, do, op, count):
-        do = do & (count > 0)
-        idx = jnp.clip(nrun, 0, run_cap - 1)
-        ops = ops.at[rows, idx].set(jnp.where(do, op, ops[rows, idx]))
-        lens = lens.at[rows, idx].set(jnp.where(do, count, lens[rows, idx]))
-        nrun = nrun + do.astype(jnp.int32)
-        return ops, lens, nrun
-
-    # each iteration either emits a run or closes a gap run; bound by the
-    # runs this segment can produce plus slack (never hang the chip)
-    max_iters = 3 * run_cap + 8
+    # Chunked hops (same trick as segmented._traceback_core): a plain
+    # one-hop-per-while-iteration walk paid the while overhead plus
+    # three output scatters PER HOP (~22 ms/segment measured on the
+    # 100 kb workload). Here CHUNK hops run inside a lax.scan emitting
+    # dense per-hop logs — up to two entries per hop, slot 0 the
+    # M-run/I/D emit and slot 1 the X emit, preserving the original
+    # emit order — and ONE batched scatter per chunk packs them into
+    # the run buffers (positions strictly increase per pair, so
+    # indices are unique).
+    CHUNK = 16
 
     def stepping_of(s, active):
         return active & ((s > s_lo) | (s == 0))
 
-    def cond(carry):
-        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
-        return jnp.any(stepping_of(s, active)) & (it < max_iters)
-
-    def body(carry):
-        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
+    def hop(carry, _):
+        s, c, h, comp, active = carry
         stepping = stepping_of(s, active)
 
         is_m = comp == _C_M
@@ -496,24 +491,16 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
             ),
         )
 
-        # ----- emits -----
-        ops, lens, nrun = emit(
-            ops, lens, nrun, stepping & is_m, jnp.uint8(_OP_M),
-            jnp.where(is_m, n_match, 0),
+        # ----- emit log (slot 0: M-run / I / D; slot 1: X) -----
+        e1_op = jnp.where(
+            is_m,
+            jnp.uint8(_OP_M),
+            jnp.where(is_i, jnp.uint8(_OP_I), jnp.uint8(_OP_D)),
         )
+        e1_cnt = jnp.where(is_m, n_match, 1)
+        e1_do = stepping & (e1_cnt > 0)
         mismatch_step = stepping & is_m & (~at_origin) & (choice == _C_M)
-        ops, lens, nrun = emit(
-            ops, lens, nrun, mismatch_step, jnp.uint8(_OP_X),
-            jnp.where(mismatch_step, 1, 0),
-        )
-        i_step = stepping & is_i
-        ops, lens, nrun = emit(
-            ops, lens, nrun, i_step, jnp.uint8(_OP_I), jnp.where(i_step, 1, 0)
-        )
-        d_step = stepping & is_d
-        ops, lens, nrun = emit(
-            ops, lens, nrun, d_step, jnp.uint8(_OP_D), jnp.where(d_step, 1, 0)
-        )
+        e2_do = mismatch_step
 
         # ----- transitions -----
         m_new_s = jnp.where(choice == _C_M, s - pen.x, s)
@@ -530,14 +517,46 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
         new_comp = jnp.where(is_m, m_new_comp, g_new_comp)
 
         finished = stepping & at_origin
-        overflow = overflow | (stepping & (nrun >= run_cap))
-        active = active & (~finished) & (~overflow)
+        active = active & (~finished)
 
         moved = stepping & (~at_origin)
         s = jnp.where(moved, new_s, s)
         h = jnp.where(moved, new_h, h)
         c = jnp.where(moved, new_c, c)
         comp = jnp.where(moved, new_comp, comp)
+        return (s, c, h, comp, active), (e1_do, e1_op, e1_cnt, e2_do)
+
+    max_chunks = (3 * run_cap + 8) // CHUNK + 2
+
+    def cond(carry):
+        (s, _, _, _, active, _, _, _, _, it) = carry
+        return jnp.any(stepping_of(s, active)) & (it < max_chunks)
+
+    def body(carry):
+        (s, c, h, comp, active, ops, lens, nrun, overflow, it) = carry
+        (s, c, h, comp, active), (e1_do, e1_op, e1_cnt, e2_do) = jax.lax.scan(
+            hop, (s, c, h, comp, active), None, length=CHUNK
+        )
+        # interleave slots hop-major: row 2k = hop k's slot-0 emit,
+        # row 2k+1 its X emit
+        flags = jnp.stack([e1_do, e2_do], axis=1).reshape(2 * CHUNK, B)
+        ops_log = jnp.stack(
+            [e1_op, jnp.full_like(e1_op, jnp.uint8(_OP_X))], axis=1
+        ).reshape(2 * CHUNK, B)
+        cnt_log = jnp.stack(
+            [e1_cnt, jnp.ones_like(e1_cnt)], axis=1
+        ).reshape(2 * CHUNK, B)
+        inc = flags.astype(jnp.int32)
+        pos = nrun[None, :] + jnp.cumsum(inc, axis=0) - inc
+        oob = flags & (pos >= run_cap)
+        idx = jnp.where(flags & (pos < run_cap), pos, run_cap)
+        rows2 = jnp.broadcast_to(rows[None, :], idx.shape)
+        ops = ops.at[rows2, idx].set(ops_log, mode="drop")
+        lens = lens.at[rows2, idx].set(cnt_log, mode="drop")
+        nrun = nrun + inc.sum(0)
+        new_over = jnp.any(oob, axis=0)
+        overflow = overflow | new_over
+        active = active & jnp.logical_not(new_over)
         return (s, c, h, comp, active, ops, lens, nrun, overflow, it + 1)
 
     carry = (s0, c0, h0, comp0, active0, ops, lens, nrun, overflow, jnp.int32(0))
