@@ -171,3 +171,41 @@ def test_intersection_counts_device_matches_numpy():
     want = pairwise_intersection_counts(sketches)
     got = _intersection_counts_device(sketches, sizes, force=True)
     np.testing.assert_array_equal(want, got)
+
+
+def test_bottom_k_matches_full_sort():
+    """The np.partition bottom-k path must be bit-identical to a full
+    stable sort + truncate (the reference semantics, mash.rs:103-106):
+    duplicates kept, ascending, every length regime (n < k, n == k,
+    n >> k), with N-runs and lowercase bases in the sequence."""
+    from allwave_tpu.sketch.minhash import (
+        _IS_DNA,
+        _KMER_COMP,
+        _valid_window_mask,
+        sketch_canonical,
+        sketch_stranded,
+    )
+    from allwave_tpu.hashing.siphash import hash_kmers
+
+    rng = np.random.RandomState(11)
+    alpha = np.frombuffer(b"ACGTacgtNn", np.uint8)
+    for trial in range(60):
+        L = int(rng.randint(5, 2500))
+        seq = rng.choice(alpha, L).astype(np.uint8)
+        b = seq.tobytes()
+        for size in (7, 1000):
+            got_s = sketch_stranded(b, 15, size)
+            got_c = sketch_canonical(b, 15, size)
+            if L < 15:
+                assert got_s.size == 0 and got_c.size == 0
+                continue
+            valid = _valid_window_mask(seq, 15)
+            fwd = hash_kmers(seq, 15)
+            rc = np.ascontiguousarray(_KMER_COMP[seq][::-1])
+            canon = np.minimum(fwd, hash_kmers(rc, 15)[::-1])
+            np.testing.assert_array_equal(
+                got_s, np.sort(fwd[valid], kind="stable")[:size]
+            )
+            np.testing.assert_array_equal(
+                got_c, np.sort(canon[valid], kind="stable")[:size]
+            )
