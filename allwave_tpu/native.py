@@ -65,6 +65,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.siphash13_pair_filter.restype = None
+        lib.siphash13_pair_filter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.wfa_align_single.restype = ctypes.c_int
         lib.wfa_align_single.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -107,6 +119,42 @@ def hash_kmers_native(seq: np.ndarray, k: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out
+
+
+def pair_filter_native(
+    idmat: np.ndarray,
+    lens: np.ndarray,
+    qi: np.ndarray,
+    ti: np.ndarray,
+    keep_fraction: float,
+) -> Optional[np.ndarray]:
+    """Native sparsification keep-mask over pooled-index pairs
+    (reference: iterator.rs:256-284). Bit-identical decisions to
+    hashing.siphash.pair_keep_mask_pooled; None if the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idmat = np.ascontiguousarray(idmat, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    qi = np.ascontiguousarray(qi, dtype=np.int64)
+    ti = np.ascontiguousarray(ti, dtype=np.int64)
+    m = qi.shape[0]
+    if m == 0:
+        return np.zeros(0, dtype=bool)
+    out = np.empty(m, dtype=np.uint8)
+    lib.siphash13_pair_filter(
+        idmat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(idmat.shape[0]),
+        ctypes.c_int64(idmat.shape[1]),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        qi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ti.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(m),
+        ctypes.c_double(keep_fraction),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.astype(bool)
 
 
 def wfa_align_native(

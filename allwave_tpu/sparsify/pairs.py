@@ -114,16 +114,23 @@ def build_pairs(
     # hash-filter in i-row blocks: materializing all n(n-1) candidate
     # pairs AND their id strings at once is O(n^2) memory (1.6 GB of
     # indices + 1e8 python strings at n=10k); the kept set is tiny
+    # (~0.1% at giant:0.99, n=10k), so only flat index vectors are built
+    # per block and the (P, 2) array is materialized for kept pairs
+    # alone. Self pairs are masked after hashing (decisions are per-pair
+    # independent), preserving the reference's i-major enumeration order.
+    from ..hashing.siphash import pair_keep_mask_pooled
+
+    id_bytes = [s.id.encode("utf-8") for s in sequences]
     block = max(1, 4_000_000 // max(n, 1))
     out = []
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         i = np.repeat(np.arange(lo, hi, dtype=np.int64), n)
         j = np.tile(np.arange(n, dtype=np.int64), hi - lo)
-        pairs = np.stack([i, j], axis=1)
+        mask = pair_keep_mask_pooled(id_bytes, i, j, keep)
         if exclude_self:
-            pairs = pairs[pairs[:, 0] != pairs[:, 1]]
-        out.append(apply_random_sparsification(pairs, keep, sequences))
+            mask &= i != j
+        out.append(np.stack([i[mask], j[mask]], axis=1))
     return (
         np.concatenate(out, axis=0) if out else np.zeros((0, 2), np.int64)
     )

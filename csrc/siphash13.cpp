@@ -76,4 +76,42 @@ void siphash13_kmers(const uint8_t* seq, int64_t len, int32_t k,
   }
 }
 
+// Sparsification pair filter (reference: iterator.rs:256-284): for each
+// pair p, hash the message  id[qi[p]] ++ ':' ++ id[ti[p]] ++ 0xff  with
+// the raw-stream discipline above and keep iff
+// (double)hash / (double)UINT64_MAX < keep_fraction — bit-identical
+// decisions to the NumPy path (hashing/siphash.py pair_keep_mask*).
+// idmat is (n, lmax) row-major zero-padded id bytes; lens holds each
+// id's true length.
+void siphash13_pair_filter(const uint8_t* idmat, int64_t n, int64_t lmax,
+                           const int64_t* lens, const int64_t* qi,
+                           const int64_t* ti, int64_t m,
+                           double keep_fraction, uint8_t* out) {
+  (void)n;
+  const double inv_max = 1.0 / static_cast<double>(UINT64_MAX);
+  // scratch message buffer: la + ':' + lb + 0xff, padded to whole words
+  const int64_t cap = 2 * lmax + 2 + 8;
+  uint8_t* buf = new uint8_t[static_cast<size_t>(cap)];
+  for (int64_t p = 0; p < m; ++p) {
+    const int64_t a = qi[p], b = ti[p];
+    const int64_t la = lens[a], lb = lens[b];
+    const int64_t len = la + lb + 2;
+    std::memcpy(buf, idmat + a * lmax, static_cast<size_t>(la));
+    buf[la] = ':';
+    std::memcpy(buf + la + 1, idmat + b * lmax, static_cast<size_t>(lb));
+    buf[len - 1] = 0xff;
+    std::memset(buf + len, 0, 8);  // zero word tail for load_le
+    Sip13 s;
+    const int64_t nwords = len / 8;
+    for (int64_t w = 0; w < nwords; ++w) s.compress(load_le(buf + w * 8, 8));
+    const int tail = static_cast<int>(len % 8);
+    uint64_t last = (static_cast<uint64_t>(len & 0xff) << 56) |
+                    (tail ? load_le(buf + nwords * 8, tail) : 0);
+    out[p] = (static_cast<double>(s.finish(last)) * inv_max < keep_fraction)
+                 ? 1
+                 : 0;
+  }
+  delete[] buf;
+}
+
 }  // extern "C"
