@@ -44,58 +44,89 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            srcs = [
-                os.path.join(_CSRC, "wfa_oracle.cpp"),
-                os.path.join(_CSRC, "siphash13.cpp"),
-            ]
-            if not all(os.path.exists(s) for s in srcs) or not _build():
+        srcs = [
+            os.path.join(_CSRC, f)
+            for f in ("wfa_oracle.cpp", "siphash13.cpp", "orient_pairs.cpp")
+        ]
+        have_srcs = all(os.path.exists(s) for s in srcs)
+        stale = have_srcs and (
+            not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH)
+            < max(os.path.getmtime(s) for s in srcs)
+        )
+        if stale and not _build():
+            if not os.path.exists(_LIB_PATH):
                 return None
+        if not os.path.exists(_LIB_PATH):
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
 
-        lib.siphash13_raw.restype = ctypes.c_uint64
-        lib.siphash13_raw.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-        lib.siphash13_kmers.restype = None
-        lib.siphash13_kmers.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint64),
-        ]
-        lib.siphash13_pair_filter.restype = None
-        lib.siphash13_pair_filter.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64,
-            ctypes.c_double,
-            ctypes.POINTER(ctypes.c_uint8),
-        ]
-        lib.wfa_align_single.restype = ctypes.c_int
-        lib.wfa_align_single.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-        ]
+        try:
+            _register(lib)
+        except AttributeError:
+            # stale binary missing newer entry points and the rebuild
+            # failed — fall back to the pure-NumPy paths
+            return None
         _lib = lib
         return _lib
+
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.siphash13_raw.restype = ctypes.c_uint64
+    lib.siphash13_raw.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.siphash13_kmers.restype = None
+    lib.siphash13_kmers.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    if hasattr(lib, "orient_pairs"):
+        lib.orient_pairs.restype = None
+        lib.orient_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+    lib.siphash13_pair_filter.restype = None
+    lib.siphash13_pair_filter.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.wfa_align_single.restype = ctypes.c_int
+    lib.wfa_align_single.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
 
 
 def available() -> bool:
@@ -119,6 +150,51 @@ def hash_kmers_native(seq: np.ndarray, k: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out
+
+
+def orient_pairs_native(
+    fcat: np.ndarray,
+    foff: np.ndarray,
+    rcat: np.ndarray,
+    roff: np.ndarray,
+    qi: np.ndarray,
+    ti: np.ndarray,
+    kmer: int,
+):
+    """Per-pair mash orientation decisions + distances over CSR-packed
+    stranded sketch sets (csrc/orient_pairs.cpp). Decisions are
+    bit-identical to OrientationIndex.orient (integer cross-compare);
+    distances are the reference mash formula in float64 (band hints
+    only). Returns (is_reverse bool[m], dist f64[m]) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "orient_pairs"):
+        return None
+    fcat = np.ascontiguousarray(fcat, dtype=np.uint64)
+    foff = np.ascontiguousarray(foff, dtype=np.int64)
+    rcat = np.ascontiguousarray(rcat, dtype=np.uint64)
+    roff = np.ascontiguousarray(roff, dtype=np.int64)
+    qi = np.ascontiguousarray(qi, dtype=np.int64)
+    ti = np.ascontiguousarray(ti, dtype=np.int64)
+    m = qi.shape[0]
+    if m == 0:
+        return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.float64)
+    dec = np.empty(m, dtype=np.uint8)
+    dist = np.empty(m, dtype=np.float64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.orient_pairs(
+        fcat.ctypes.data_as(u64p),
+        foff.ctypes.data_as(i64p),
+        rcat.ctypes.data_as(u64p),
+        roff.ctypes.data_as(i64p),
+        qi.ctypes.data_as(i64p),
+        ti.ctypes.data_as(i64p),
+        ctypes.c_int64(m),
+        ctypes.c_int32(kmer),
+        dec.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return dec.astype(bool), dist
 
 
 def pair_filter_native(

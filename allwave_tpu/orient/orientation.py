@@ -255,6 +255,13 @@ class OrientationIndex:
         sizes_r = np.array([s.size for s in rsets], dtype=np.int32)
 
         cat = np.concatenate(fsets + rsets)
+        # pre-check on a conservative U estimate (hash sets rarely
+        # overlap by more than 8x) — skips the multi-second np.unique
+        # over tens of millions of hashes when the exact check below
+        # would raise anyway; a wrong guess only changes the path
+        # taken, never a decision
+        if 2 * n * (cat.size // 8 + 1) > self.DEVICE_MEMBERSHIP_MAX:
+            raise MemoryError("membership matrix over device budget")
         uniq, inv = np.unique(cat, return_inverse=True)
         U = int(uniq.size)
         if 2 * n * (U + 1) > self.DEVICE_MEMBERSHIP_MAX:
@@ -309,19 +316,67 @@ class OrientationIndex:
             return dec[qp, tp], dist[qp, tp]
         return None
 
+    def _pair_lookup(self, idx: np.ndarray):
+        """(dec, dist) from the one-slot per-pair-request cache (filled
+        by the native pair path), or None. orient_batch and
+        distance_batch are called back-to-back with the same pair list
+        by the pipeline, so one slot suffices."""
+        pc = getattr(self, "_pair_req", None)
+        if pc is not None and np.array_equal(pc[0], idx):
+            return pc[1], pc[2]
+        return None
+
+    def _orient_pairs_native(self, idx: np.ndarray):
+        """Per-pair decisions + distances via csrc/orient_pairs.cpp
+        (sorted-set two-pointer intersections, ~10 us/pair): the escape
+        hatch for sparse pair sets at large n, where the (n, n) matrix
+        paths are O(n^2) and the device membership matmul is over
+        budget. Decisions are bit-identical to orient() (integer
+        cross-compare, see _decision_matrix_device's proof); distances
+        are the same float64 mash formula. Returns (dec, dist) or None
+        if the native library is unavailable."""
+        from .. import native
+
+        uniq = np.unique(idx)
+        self._ensure_sets(uniq)
+        n = len(self.sequences)
+        empty = np.zeros(0, dtype=np.uint64)
+        fs = {int(i): self._fwd_set(int(i)) for i in uniq.tolist()}
+        rs = {int(i): self._rev_set(int(i)) for i in uniq.tolist()}
+        fl = [fs.get(i, empty) for i in range(n)]
+        rl = [rs.get(i, empty) for i in range(n)]
+        foff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([a.size for a in fl], out=foff[1:])
+        roff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([a.size for a in rl], out=roff[1:])
+        fcat = np.concatenate(fl) if n else empty
+        rcat = np.concatenate(rl) if n else empty
+        res = native.orient_pairs_native(
+            fcat, foff, rcat, roff, idx[:, 0], idx[:, 1], self.k
+        )
+        if res is None:
+            return None
+        self._pair_req = (idx.copy(), res[0], res[1])
+        return res
+
     def orient_batch(self, idx_pairs) -> np.ndarray:
         """Vectorized ``orient`` over a list of (query_idx, target_idx)
         pairs via the cached all-pairs decision matrix (MXU matmul path
         on accelerators, blocked-bitmap NumPy otherwise). Sparse pair
         sets (<< n^2, e.g. tree sparsification at large n) compute only
         the requested query-row x target-row submatrix instead of the
-        full (n, n) planes."""
+        full (n, n) planes; at large n where even that is over budget,
+        the native per-pair set-intersection path serves the request
+        directly."""
         idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
         n = len(self.sequences)
         if getattr(self, "_decisions", None) is None:
             hit = self._sub_lookup(idx)
             if hit is not None:
                 return hit[0]
+            pc = self._pair_lookup(idx)
+            if pc is not None:
+                return pc[0]
             q_idx = np.unique(idx[:, 0])
             t_idx = np.unique(idx[:, 1])
             if q_idx.size * t_idx.size * 4 < n * n:
@@ -343,8 +398,20 @@ class OrientationIndex:
                 try:
                     self._decisions = self._decision_matrix_device()
                 except Exception:
+                    # typically MemoryError: membership matrix over the
+                    # device budget (U ~ 2e7 hashes at n=10k). The
+                    # request is usually sparse there — serve it
+                    # per-pair natively (~140 s -> ~2 s at n=10k)
+                    # before resorting to the O(n^2) NumPy matrix.
+                    res = self._orient_pairs_native(idx)
+                    if res is not None:
+                        return res[0]
                     self._decisions = self._decision_matrix()
             else:
+                if n >= 2048 and idx.shape[0] * 16 < n * n:
+                    res = self._orient_pairs_native(idx)
+                    if res is not None:
+                        return res[0]
                 self._decisions = self._decision_matrix()
         return self._decisions[idx[:, 0], idx[:, 1]]
 
@@ -357,6 +424,9 @@ class OrientationIndex:
             hit = self._sub_lookup(idx)
             if hit is not None:
                 return hit[1]
+            pc = self._pair_lookup(idx)
+            if pc is not None:
+                return pc[1]
             self._decisions = self._decision_matrix()
         return self._distances[idx[:, 0], idx[:, 1]]
 

@@ -157,3 +157,56 @@ def test_decision_matrix_device_matches_numpy():
     oi = OrientationIndex(seqs)
     d_dev = oi._decision_matrix_device()
     np.testing.assert_array_equal(d_np, d_dev)
+
+
+def test_native_pair_path_matches_matrix():
+    """The per-pair native set-intersection path (csrc/orient_pairs.cpp,
+    the large-n escape hatch for sparse pair requests) must return
+    decisions bit-identical to the NumPy decision matrix and distances
+    equal to float64 roundoff."""
+    import numpy as np
+    import pytest
+
+    from allwave_tpu import native
+    from allwave_tpu.core.types import Sequence
+    from allwave_tpu.orient.orientation import OrientationIndex
+
+    if not native.available() or native.get_lib() is None or not hasattr(
+        native.get_lib(), "orient_pairs"
+    ):
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    comp = np.full(256, ord("N"), np.uint8)
+    for s_, d_ in zip(b"ATCGN", b"TAGCN"):
+        comp[s_] = d_
+    root = rng.choice(bases, 700)
+    seqs = []
+    for i in range(48):
+        t = root.copy()
+        mut = rng.rand(700) < rng.uniform(0.01, 0.5)
+        t[mut] = bases[rng.randint(0, 4, mut.sum())]
+        if i % 2 == 0:
+            t = comp[t][::-1]
+        seqs.append(Sequence(f"s{i}", t.tobytes()))
+    # unrelated short sequence: exercises empty-ish overlaps
+    seqs.append(Sequence("tiny", b"ACGTACGTACGTACGTAA"))
+
+    m = 400
+    n = len(seqs)
+    pairs = np.stack(
+        [rng.randint(0, n, m), rng.randint(0, n, m)], axis=1
+    ).astype(np.int64)
+
+    oi = OrientationIndex(seqs)
+    dec_n, dist_n = oi._orient_pairs_native(pairs)
+    # the request cache must serve the follow-up batch calls
+    assert np.array_equal(oi.orient_batch(pairs), dec_n)
+    assert np.array_equal(oi.distance_batch(pairs), dist_n)
+
+    ref = OrientationIndex(seqs)
+    dec_m = ref._decision_matrix()
+    np.testing.assert_array_equal(dec_n, dec_m[pairs[:, 0], pairs[:, 1]])
+    ref_dist = ref._distances[pairs[:, 0], pairs[:, 1]]
+    assert np.abs(dist_n - ref_dist).max() < 1e-12
