@@ -18,18 +18,47 @@ from allwave_tpu.testing.synth import MutationConfig, make_test_case, random_dna
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(args, check=True):
-    env = dict(os.environ)
-    env["ALLWAVE_PLATFORM"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.run(
-        [sys.executable, "-m", "allwave_tpu.cli", *args],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        env=env,
-        timeout=900,
-    )
+def run_cli(args, check=True, in_process=True):
+    """Drive the CLI. In-process by default — a fresh subprocess pays a
+    ~9 s jax import per test on this 1-core host (~90 s over the file),
+    while main(argv) exercises the same argparse -> pipeline -> writer
+    path. A couple of smoke tests keep in_process=False so the real
+    entry point (python -m allwave_tpu.cli) stays covered."""
+    if in_process:
+        import io
+        from contextlib import redirect_stderr, redirect_stdout
+
+        from allwave_tpu import cli as _cli
+
+        out, err = io.StringIO(), io.StringIO()
+        old_plat = os.environ.get("ALLWAVE_PLATFORM")
+        os.environ["ALLWAVE_PLATFORM"] = "cpu"
+        try:
+            with redirect_stdout(out), redirect_stderr(err):
+                try:
+                    rc = _cli.main([str(a) for a in args])
+                except SystemExit as e:
+                    rc = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
+        finally:
+            if old_plat is None:
+                os.environ.pop("ALLWAVE_PLATFORM", None)
+            else:
+                os.environ["ALLWAVE_PLATFORM"] = old_plat
+        proc = subprocess.CompletedProcess(
+            list(args), rc, out.getvalue(), err.getvalue()
+        )
+    else:
+        env = dict(os.environ)
+        env["ALLWAVE_PLATFORM"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, "-m", "allwave_tpu.cli", *args],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+            timeout=900,
+        )
     if check and proc.returncode != 0:
         raise AssertionError(
             f"CLI failed rc={proc.returncode}\nstderr:\n{proc.stderr}"
@@ -94,7 +123,10 @@ def basic_case(tmp_path_factory):
 
 def test_basic_all_pairs(basic_case):
     case, path = basic_case
-    proc = run_cli(["-i", path, "-p", "none", "-t", "1", "--no-progress"])
+    proc = run_cli(
+        ["-i", path, "-p", "none", "-t", "1", "--no-progress"],
+        in_process=False,  # keep one true `python -m allwave_tpu.cli` smoke
+    )
     records = parse_paf(proc.stdout)
     n = len(case.sequences)
     assert len(records) == n * (n - 1)  # directed all-pairs

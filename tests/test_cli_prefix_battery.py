@@ -48,23 +48,7 @@ def _write(tmp_path, seqs, name="in.fa"):
     return str(p)
 
 
-def run_cli(args, check=True):
-    env = dict(os.environ)
-    env["ALLWAVE_PLATFORM"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.run(
-        [sys.executable, "-m", "allwave_tpu.cli", *args],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        env=env,
-        timeout=900,
-    )
-    if check and proc.returncode != 0:
-        raise AssertionError(
-            f"CLI failed rc={proc.returncode}\nstderr:\n{proc.stderr}"
-        )
-    return proc
+from tests.test_cli import run_cli  # in-process by default (shared helper)
 
 
 def _ids(stdout):
