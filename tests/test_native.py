@@ -56,3 +56,59 @@ def test_wfa_native_empty():
     score, cigar = native.wfa_align_native(b"", b"ACG", pen)
     assert score == pen.o1 + 3 * pen.e1
     assert cigar.tobytes() == b"III"
+
+
+def test_pair_filter_native_edge_ids():
+    """Native keep-filter vs the NumPy oracle on edge-case ids: empty
+    id, 1-byte id, id far longer than a SipHash block."""
+    import numpy as np
+
+    import allwave_tpu.native as N
+    from allwave_tpu.hashing import siphash as S
+
+    if not N.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    ids = [b"", b"a", b"x" * 300, b"seq:with:colons", b"\xff\x00weird"]
+    rng = np.random.RandomState(2)
+    qi = rng.randint(0, len(ids), 200).astype(np.int64)
+    ti = rng.randint(0, len(ids), 200).astype(np.int64)
+    for frac in (0.0, 0.3, 0.9, 1.0):
+        got = S.pair_keep_mask_pooled(ids, qi, ti, frac)
+        lib, tried = N._lib, N._tried
+        N._lib, N._tried = None, True  # force the NumPy path
+        try:
+            ref = S.pair_keep_mask_pooled(ids, qi, ti, frac)
+        finally:
+            N._lib, N._tried = lib, tried
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_orient_pairs_native_short_sequences():
+    """Sequences shorter than k have empty sketches: the native path
+    must match the matrix path (ties -> forward, distance 1.0; the
+    self-pair -0.0 quirk included)."""
+    import numpy as np
+
+    import allwave_tpu.native as N
+    from allwave_tpu.core.types import Sequence
+    from allwave_tpu.orient.orientation import OrientationIndex
+
+    if not N.available() or not hasattr(N.get_lib(), "orient_pairs"):
+        import pytest
+
+        pytest.skip("native library unavailable")
+    seqs = [
+        Sequence("a", b"ACGTACGTACGTACGTACGTAC"),
+        Sequence("b", b"ACGT"),  # < k: empty sketch
+        Sequence("c", b"TTTT"),
+    ]
+    pairs = np.array([[0, 1], [1, 0], [1, 2], [0, 0]], np.int64)
+    dec_n, dist_n = OrientationIndex(seqs)._orient_pairs_native(pairs)
+    ref = OrientationIndex(seqs)
+    dm = ref._decision_matrix()
+    np.testing.assert_array_equal(dec_n, dm[pairs[:, 0], pairs[:, 1]])
+    np.testing.assert_array_equal(
+        dist_n, ref._distances[pairs[:, 0], pairs[:, 1]]
+    )
