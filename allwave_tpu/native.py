@@ -64,26 +64,31 @@ def get_lib() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
 
-        try:
-            _register(lib)
-        except AttributeError:
-            # stale binary missing newer entry points and the rebuild
-            # failed — fall back to the pure-NumPy paths
+        _register(lib)
+        if not hasattr(lib, "siphash13_raw"):
+            # not our library at all — fall back to pure NumPy
             return None
         _lib = lib
         return _lib
 
 
 def _register(lib: ctypes.CDLL) -> None:
-    lib.siphash13_raw.restype = ctypes.c_uint64
-    lib.siphash13_raw.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-    lib.siphash13_kmers.restype = None
-    lib.siphash13_kmers.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int64,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint64),
-    ]
+    """Set prototypes for every entry point PRESENT in the binary.
+    Each symbol is guarded individually so a stale .so that predates a
+    newer entry point (and cannot be rebuilt — no compiler, or sources
+    absent) keeps its existing fast paths; call sites hasattr-check
+    before use and fall back per-path."""
+    if hasattr(lib, "siphash13_raw"):
+        lib.siphash13_raw.restype = ctypes.c_uint64
+        lib.siphash13_raw.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    if hasattr(lib, "siphash13_kmers"):
+        lib.siphash13_kmers.restype = None
+        lib.siphash13_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
     if hasattr(lib, "orient_pairs"):
         lib.orient_pairs.restype = None
         lib.orient_pairs.argtypes = [
@@ -98,35 +103,60 @@ def _register(lib: ctypes.CDLL) -> None:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_double),
         ]
-    lib.siphash13_pair_filter.restype = None
-    lib.siphash13_pair_filter.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_double,
-        ctypes.POINTER(ctypes.c_uint8),
-    ]
-    lib.wfa_align_single.restype = ctypes.c_int
-    lib.wfa_align_single.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int64),
-    ]
+    if hasattr(lib, "siphash13_pair_filter"):
+        lib.siphash13_pair_filter.restype = None
+        lib.siphash13_pair_filter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+    if hasattr(lib, "wfa_align_batch_rle"):
+        lib.wfa_align_batch_rle.restype = ctypes.c_int
+        lib.wfa_align_batch_rle.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # pool
+            ctypes.POINTER(ctypes.c_int64),   # qoff
+            ctypes.POINTER(ctypes.c_int32),   # qlen
+            ctypes.POINTER(ctypes.c_int64),   # toff
+            ctypes.POINTER(ctypes.c_int32),   # tlen
+            ctypes.c_int32,                   # n
+            ctypes.c_int32,                   # x
+            ctypes.c_int32,                   # o1
+            ctypes.c_int32,                   # e1
+            ctypes.c_int32,                   # o2
+            ctypes.c_int32,                   # e2
+            ctypes.c_int32,                   # two_piece
+            ctypes.c_int32,                   # s_cap
+            ctypes.POINTER(ctypes.c_uint8),   # run_ops
+            ctypes.POINTER(ctypes.c_int32),   # run_lens
+            ctypes.c_int64,                   # run_cap
+            ctypes.POINTER(ctypes.c_int64),   # run_offsets
+            ctypes.POINTER(ctypes.c_int32),   # scores
+            ctypes.POINTER(ctypes.c_int64),   # stats
+        ]
+    if hasattr(lib, "wfa_align_single"):
+        lib.wfa_align_single.restype = ctypes.c_int
+        lib.wfa_align_single.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
 
 
 def available() -> bool:
@@ -136,7 +166,7 @@ def available() -> bool:
 def hash_kmers_native(seq: np.ndarray, k: int) -> Optional[np.ndarray]:
     """Native batch k-mer hashing; None if the library is unavailable."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "siphash13_kmers"):
         return None
     seq = np.ascontiguousarray(seq, dtype=np.uint8)
     n = seq.size - k + 1
@@ -209,7 +239,7 @@ def pair_filter_native(
     hashing.siphash.pair_keep_mask_pooled; None if the library is
     unavailable."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "siphash13_pair_filter"):
         return None
     idmat = np.ascontiguousarray(idmat, dtype=np.uint8)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
@@ -233,13 +263,87 @@ def pair_filter_native(
     return out.astype(bool)
 
 
+def wfa_align_batch_rle_native(
+    pool_seqs, qidx: np.ndarray, tidx: np.ndarray, pen, s_cap: int = 1 << 20
+):
+    """Batch exact WFA over pooled-index pairs with run-length CIGAR
+    output (csrc wfa_align_batch_rle): ONE ctypes call for the whole
+    workload, wavefront buffers reused across pairs in C++ — ~2x the
+    per-pair wfa_align_native throughput on short pairs (which is
+    dominated by per-call allocation + FFI overhead). Returns
+    (scores int32[n], run_ops uint8, run_lens int32, run_offsets
+    int64[n+1], stats int64[n, 4] = #M/#X/#I/#D) or None if the library
+    (or this entry point) is unavailable. scores[i] < 0 marks a failed
+    pair (empty runs). Bit-identical alignments to wfa_align_native."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "wfa_align_batch_rle"):
+        return None
+    n = len(qidx)
+    if n == 0:
+        return (
+            np.zeros(0, np.int32),
+            np.zeros(0, np.uint8),
+            np.zeros(0, np.int32),
+            np.zeros(1, np.int64),
+            np.zeros((0, 4), np.int64),
+        )
+    offs = np.zeros(len(pool_seqs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in pool_seqs], out=offs[1:])
+    pool = np.frombuffer(b"".join(pool_seqs), dtype=np.uint8)
+    if pool.size == 0:
+        pool = np.zeros(1, np.uint8)
+    qidx = np.asarray(qidx, dtype=np.int64)
+    tidx = np.asarray(tidx, dtype=np.int64)
+    qoff = np.ascontiguousarray(offs[qidx])
+    toff = np.ascontiguousarray(offs[tidx])
+    qlen = np.ascontiguousarray(
+        (offs[qidx + 1] - offs[qidx]).astype(np.int32)
+    )
+    tlen = np.ascontiguousarray(
+        (offs[tidx + 1] - offs[tidx]).astype(np.int32)
+    )
+    run_cap = int((qlen.astype(np.int64) + tlen.astype(np.int64)).sum()) + 2 * n
+    run_ops = np.empty(run_cap, dtype=np.uint8)
+    run_lens = np.empty(run_cap, dtype=np.int32)
+    run_offsets = np.zeros(n + 1, dtype=np.int64)
+    scores = np.empty(n, dtype=np.int32)
+    stats = np.empty((n, 4), dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.wfa_align_batch_rle(
+        pool.ctypes.data_as(u8p),
+        qoff.ctypes.data_as(i64p),
+        qlen.ctypes.data_as(i32p),
+        toff.ctypes.data_as(i64p),
+        tlen.ctypes.data_as(i32p),
+        ctypes.c_int32(n),
+        ctypes.c_int32(pen.x),
+        ctypes.c_int32(pen.o1),
+        ctypes.c_int32(pen.e1),
+        ctypes.c_int32(pen.o2),
+        ctypes.c_int32(pen.e2),
+        ctypes.c_int32(1 if pen.two_piece else 0),
+        ctypes.c_int32(s_cap),
+        run_ops.ctypes.data_as(u8p),
+        run_lens.ctypes.data_as(i32p),
+        ctypes.c_int64(run_cap),
+        run_offsets.ctypes.data_as(i64p),
+        scores.ctypes.data_as(i32p),
+        stats.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native batch WFA error {rc}")
+    return scores, run_ops, run_lens, run_offsets, stats
+
+
 def wfa_align_native(
     query: bytes, target: bytes, pen, s_cap: int = 1 << 20
 ) -> Optional[Tuple[int, np.ndarray]]:
     """Native exact WFA; returns (score, cigar_bytes) or None if the
     library is unavailable. Raises RuntimeError if s_cap was exceeded."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "wfa_align_single"):
         return None
     q = np.frombuffer(query, dtype=np.uint8)
     t = np.frombuffer(target, dtype=np.uint8)

@@ -258,9 +258,12 @@ class OrientationIndex:
         # pre-check on a conservative U estimate (hash sets rarely
         # overlap by more than 8x) — skips the multi-second np.unique
         # over tens of millions of hashes when the exact check below
-        # would raise anyway; a wrong guess only changes the path
-        # taken, never a decision
-        if 2 * n * (cat.size // 8 + 1) > self.DEVICE_MEMBERSHIP_MAX:
+        # would raise anyway. Short-circuit only when the estimate
+        # exceeds the budget by 4x: for highly redundant datasets the
+        # true U can be far smaller than cat.size/8, and the exact
+        # check below still guards the borderline cases. A wrong guess
+        # only changes the path taken, never a decision.
+        if 2 * n * (cat.size // 8 + 1) > 4 * self.DEVICE_MEMBERSHIP_MAX:
             raise MemoryError("membership matrix over device budget")
         uniq, inv = np.unique(cat, return_inverse=True)
         U = int(uniq.size)
@@ -447,6 +450,7 @@ class OrientationIndex:
         the chosen orientation — a free by-product of orient_batch, used
         to pick each pair's initial band width."""
         idx = np.asarray(idx_pairs, dtype=np.int64).reshape(-1, 2)
+        n = len(self.sequences)
         if getattr(self, "_decisions", None) is None:
             hit = self._sub_lookup(idx)
             if hit is not None:
@@ -454,6 +458,24 @@ class OrientationIndex:
             pc = self._pair_lookup(idx)
             if pc is not None:
                 return pc[1]
+            # mirror orient_batch's sparse routing: a sparse request at
+            # large n must never fall through to the O(n^2) NumPy
+            # matrix (at n=10k that is an ~800 MB distance matrix and
+            # minutes of work the native per-pair path avoids)
+            q_idx = np.unique(idx[:, 0])
+            t_idx = np.unique(idx[:, 1])
+            if idx.shape[0] * 8 < q_idx.size * t_idx.size:
+                res = self._orient_pairs_native(idx)
+                if res is not None:
+                    return res[1]
+            if q_idx.size * t_idx.size * 4 < n * n:
+                dec, dist = self._decision_submatrix(q_idx, t_idx)
+                self._sub = (q_idx, t_idx, dec, dist)
+                return self._sub_lookup(idx)[1]
+            if n >= 2048 and idx.shape[0] * 16 < n * n:
+                res = self._orient_pairs_native(idx)
+                if res is not None:
+                    return res[1]
             self._decisions = self._decision_matrix()
         return self._distances[idx[:, 0], idx[:, 1]]
 

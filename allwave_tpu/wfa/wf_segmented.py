@@ -642,6 +642,25 @@ class WavefrontSegmentedAligner:
         k = kend_abs + 2 * max(w, 0) + 3
         return self._round_k(max(k, self.config.k_initial))
 
+    @staticmethod
+    def _quantize_hint(hint: int) -> int:
+        """Round a mash score hint UP to a quarter-pow2 grid point
+        {2^i, 1.25*2^i, 1.5*2^i, 1.75*2^i}. Band width and score cap
+        derive from the QUANTIZED hint only, so a pair's (K, s_cap)
+        round key is a pure function of the pair itself — PAF bytes
+        cannot depend on batch/chunk composition (the previous
+        bucket-max-K coalescing made co-optimal CIGAR tie-breaks
+        batch-dependent) — while near-identical hints still share one
+        round key and batch together."""
+        if hint <= 16:
+            return 16
+        p = 1 << (hint.bit_length() - 1)  # 2^i <= hint
+        for num in (5, 6, 7, 8):
+            v = p * num // 4
+            if v >= hint:
+                return v
+        return 2 * p
+
     def _s_cap_for_hint(self, hint: int) -> int:
         """Score cap from a mash-derived estimate: headroom for hint
         noise, rounded UP TO A POWER OF TWO so that near-identical hints
@@ -673,7 +692,8 @@ class WavefrontSegmentedAligner:
             kend_abs = abs(len(t) - len(q))
             if sigma_hint is not None:
                 hint = int(sigma_hint[i])
-                si = self._s_cap_for_hint(hint)
+                hq = self._quantize_hint(hint)
+                si = self._s_cap_for_hint(hq)
                 # K is sized from s_cap/2, NOT the raw hint, for two
                 # reasons. (1) Margin: certification needs K ~ actual
                 # score (the exit-and-return bound is ~2*(o2 + K/2*e2)),
@@ -689,11 +709,11 @@ class WavefrontSegmentedAligner:
                 if self.impl == "pallas":
                     # the Pallas sweep's per-level cost scales with K
                     # and its in-kernel skip makes a generous s_cap
-                    # nearly free, so size K from a 1.1x hint margin
-                    # (cert failures still escalate exactly) instead of
-                    # the XLA path's 2x; rounds then bucket below at
-                    # the bucket-max K, which absorbs most hint noise
-                    ki = self._k_for_score(hint * 11 // 10, kend_abs)
+                    # nearly free, so size K from a 1.1x quantized-hint
+                    # margin (cert failures still escalate exactly)
+                    # instead of the XLA path's 2x; the hint grid plus
+                    # the K ladder absorb hint noise into shared rounds
+                    ki = self._k_for_score(hq * 11 // 10, kend_abs)
                 else:
                     ki = self._k_for_score(si // 2, kend_abs)
                 # certifying the HINTED score itself needs
@@ -712,22 +732,6 @@ class WavefrontSegmentedAligner:
                 results[i] = self.DENSE_FALLBACK
                 continue
             rounds.setdefault((ki, si), []).append(i)
-
-        if self.impl == "pallas" and len(rounds) > 1:
-            # hint noise (mash sketches are +-30% at pangenome
-            # divergences) otherwise fragments a workload into one
-            # round per hint value — each a separate kernel-shape
-            # compile and a tiny batch. Collapse to ONE round per s_cap
-            # bucket at the bucket's widest band: a wider K is always
-            # exact, certification only gets easier, and the per-pair
-            # extra band work is far cheaper than extra sweeps.
-            by_cap: Dict[int, Tuple[int, List[int]]] = {}
-            for (ki, si), idxs in rounds.items():
-                k_prev, lst = by_cap.get(si, (0, []))
-                by_cap[si] = (max(k_prev, ki), lst + idxs)
-            rounds = {
-                (ki, si): idxs for si, (ki, idxs) in by_cap.items()
-            }
 
         while rounds:
             (k, s_cap) = min(rounds)

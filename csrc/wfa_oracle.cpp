@@ -62,33 +62,57 @@ class Aligner {
   // appended to `cigar` in forward order.
   int align(const uint8_t* q, int plen, const uint8_t* t, int tlen,
             int s_cap, std::vector<uint8_t>* cigar) {
+    int score = align_rle(q, plen, t, tlen, s_cap);
+    if (score < 0) return score;
+    // expand the (reversed) run list into forward per-base op bytes
+    for (size_t r = rev_ops_.size(); r-- > 0;) {
+      for (int32_t i = 0; i < rev_lens_[r]; ++i) cigar->push_back(rev_ops_[r]);
+    }
+    return score;
+  }
+
+  // Run-length variant with buffer reuse across calls: the wavefront
+  // history pool, run buffers, and op-count accumulators are members,
+  // so a batch loop pays zero per-pair heap allocation once warm.
+  // On success the runs are in rev_ops_/rev_lens_ in REVERSE order
+  // (walk order); op counts are in m_cnt_/x_cnt_/i_cnt_/d_cnt_.
+  int align_rle(const uint8_t* q, int plen, const uint8_t* t, int tlen,
+                int s_cap) {
     plen_ = plen; tlen_ = tlen; q_ = q; t_ = t;
     k_end_ = tlen - plen;
-    history_.clear();
-    history_.reserve(256);
+    hist_n_ = 0;
+    rev_ops_.clear();
+    rev_lens_.clear();
+    m_cnt_ = x_cnt_ = i_cnt_ = d_cnt_ = 0;
 
     if (plen == 0 && tlen == 0) return 0;
 
     {
-      Wavefront wf0;
+      Wavefront& wf0 = next_wf();
       wf0.init(0, 0, pen_.two_piece);
       int32_t h = extend(0, 0);
       wf0.m[0] = trim(h, 0);
-      history_.push_back(std::move(wf0));
-      if (history_[0].gm(k_end_) == tlen_) {
-        backtrace(0, cigar);
+      if (wf0.gm(k_end_) == tlen_) {
+        backtrace(0);
         return 0;
       }
     }
     for (int s = 1; s <= s_cap; ++s) {
       compute_next(s);
-      if (history_[static_cast<size_t>(s)].gm(k_end_) == tlen_) {
-        backtrace(s, cigar);
+      if (pool_[static_cast<size_t>(s)].gm(k_end_) == tlen_) {
+        backtrace(s);
         return s;
       }
     }
     return -1;
   }
+
+  const std::vector<uint8_t>& rev_ops() const { return rev_ops_; }
+  const std::vector<int32_t>& rev_lens() const { return rev_lens_; }
+  int64_t m_cnt() const { return m_cnt_; }
+  int64_t x_cnt() const { return x_cnt_; }
+  int64_t i_cnt() const { return i_cnt_; }
+  int64_t d_cnt() const { return d_cnt_; }
 
  private:
   int32_t h_max(int k) const {
@@ -111,12 +135,24 @@ class Aligner {
   }
 
   const Wavefront* prev(int s) const {
-    if (s < 0 || s >= static_cast<int>(history_.size())) return nullptr;
-    const Wavefront& w = history_[static_cast<size_t>(s)];
+    if (s < 0 || s >= hist_n_) return nullptr;
+    const Wavefront& w = pool_[static_cast<size_t>(s)];
     return w.empty() ? nullptr : &w;
   }
 
+  // Next history slot, reusing pooled Wavefront objects (their member
+  // vectors keep capacity across pairs, so re-init is assign()-only).
+  Wavefront& next_wf() {
+    if (static_cast<int>(pool_.size()) <= hist_n_) pool_.emplace_back();
+    Wavefront& w = pool_[static_cast<size_t>(hist_n_++)];
+    w.lo = 1; w.hi = -1;  // empty until init()
+    return w;
+  }
+
   void compute_next(int s) {
+    // allocate the slot FIRST: next_wf may reallocate the pool, which
+    // would invalidate prev() pointers captured before it
+    Wavefront& wf = next_wf();
     const Wavefront* wx = prev(s - pen_.x);
     const Wavefront* wo1 = prev(s - pen_.o1 - pen_.e1);
     const Wavefront* we1 = prev(s - pen_.e1);
@@ -131,7 +167,6 @@ class Aligner {
     };
     acc(wx); acc(wo1); acc(we1); acc(wo2); acc(we2);
 
-    Wavefront wf;
     if (hi >= lo) {
       lo = (lo - 1 < -plen_) ? -plen_ : lo - 1;
       hi = (hi + 1 > tlen_) ? tlen_ : hi + 1;
@@ -166,14 +201,23 @@ class Aligner {
         }
       }
     }
-    history_.push_back(std::move(wf));
   }
 
-  void backtrace(int s_final, std::vector<uint8_t>* cigar) {
-    std::vector<uint8_t> rev;
+  // Append a run to the reversed run list, merging with the last run.
+  void push_run(uint8_t op, int32_t cnt) {
+    if (cnt <= 0) return;
+    if (!rev_ops_.empty() && rev_ops_.back() == op) {
+      rev_lens_.back() += cnt;
+    } else {
+      rev_ops_.push_back(op);
+      rev_lens_.push_back(cnt);
+    }
+  }
+
+  void backtrace(int s_final) {
     int s = s_final, k = k_end_;
     int comp = 0;  // 0=M 1=I1 2=D1 3=I2 4=D2
-    int32_t h = history_[static_cast<size_t>(s)].gm(k);
+    int32_t h = pool_[static_cast<size_t>(s)].gm(k);
 
     auto hget = [&](int sc, int comp_id, int kk) -> int32_t {
       const Wavefront* w = prev(sc);
@@ -190,7 +234,8 @@ class Aligner {
     while (true) {
       if (comp == 0) {
         if (s == 0) {
-          for (int32_t i = 0; i < h; ++i) rev.push_back('M');
+          push_run('M', h);
+          m_cnt_ += h;
           break;
         }
         int32_t mis = hget(s - pen_.x, 0, k);
@@ -204,11 +249,13 @@ class Aligner {
         if (cd1 > pre) pre = cd1;
         if (ci2 > pre) pre = ci2;
         if (cd2 > pre) pre = cd2;
-        for (int32_t i = 0; i < h - pre; ++i) rev.push_back('M');
+        push_run('M', h - pre);
+        m_cnt_ += h - pre;
         h = pre;
         // tie-break: X, I1, I2, D1, D2
         if (cx == pre) {
-          rev.push_back('X');
+          push_run('X', 1);
+          ++x_cnt_;
           s -= pen_.x;
           h -= 1;
         } else if (ci1 == pre) {
@@ -225,7 +272,8 @@ class Aligner {
         int32_t e = comp == 1 ? pen_.e1 : pen_.e2;
         int32_t ext = hget(s - e, comp, k - 1);
         int32_t opn = hget(s - o - e, 0, k - 1);
-        rev.push_back('I');
+        push_run('I', 1);
+        ++i_cnt_;
         if (ext > kNull && ext + 1 == h) {
           s -= e;
         } else if (opn > kNull && opn + 1 == h) {
@@ -241,7 +289,8 @@ class Aligner {
         int32_t e = comp == 2 ? pen_.e1 : pen_.e2;
         int32_t ext = hget(s - e, comp, k + 1);
         int32_t opn = hget(s - o - e, 0, k + 1);
-        rev.push_back('D');
+        push_run('D', 1);
+        ++d_cnt_;
         if (ext > kNull && ext == h) {
           s -= e;
         } else if (opn > kNull && opn == h) {
@@ -253,14 +302,17 @@ class Aligner {
         k += 1;
       }
     }
-    cigar->assign(rev.rbegin(), rev.rend());
   }
 
   Penalties pen_;
   const uint8_t* q_ = nullptr;
   const uint8_t* t_ = nullptr;
   int plen_ = 0, tlen_ = 0, k_end_ = 0;
-  std::vector<Wavefront> history_;
+  std::vector<Wavefront> pool_;  // reused history slots (index = score)
+  int hist_n_ = 0;               // live history length
+  std::vector<uint8_t> rev_ops_;  // reversed RLE runs of the last walk
+  std::vector<int32_t> rev_lens_;
+  int64_t m_cnt_ = 0, x_cnt_ = 0, i_cnt_ = 0, d_cnt_ = 0;
 };
 
 }  // namespace
@@ -298,9 +350,9 @@ int wfa_align_batch(const uint8_t* qbuf, const int64_t* qoff,
                     int64_t cigar_cap, int64_t* cigar_offsets,
                     int32_t* scores) {
   Penalties pen{x, o1, e1, o2, e2, two_piece != 0};
+  Aligner a(pen);  // one aligner: history buffers reused across pairs
   int64_t pos = 0;
   for (int32_t i = 0; i < n; ++i) {
-    Aligner a(pen);
     std::vector<uint8_t> cig;
     int score = a.align(qbuf + qoff[i], qlen[i], tbuf + toff[i], tlen[i],
                         s_cap, &cig);
@@ -311,6 +363,54 @@ int wfa_align_batch(const uint8_t* qbuf, const int64_t* qoff,
     }
     scores[i] = score;
     cigar_offsets[i + 1] = pos;
+  }
+  return 0;
+}
+
+// Run-length batch API: aligns n pairs addressed into ONE pooled
+// sequence buffer (qoff/toff are byte offsets into `pool`). Per pair:
+//   scores[i]    = alignment score, or -1 if s_cap exceeded;
+//   runs         = forward-order RLE (run_ops uint8 / run_lens int32)
+//                  written back-to-back, per-pair extent in
+//                  run_offsets[i]..run_offsets[i+1] (run_offsets[0]
+//                  must be 0 on entry);
+//   stats[4*i..] = {#M, #X, #I, #D} op counts (int64).
+// One Aligner instance serves every pair, so wavefront history and run
+// buffers are heap-allocated once per batch, not per pair.
+// Returns 0, or -2 if run_cap was exceeded.
+int wfa_align_batch_rle(const uint8_t* pool, const int64_t* qoff,
+                        const int32_t* qlen, const int64_t* toff,
+                        const int32_t* tlen, int32_t n, int32_t x, int32_t o1,
+                        int32_t e1, int32_t o2, int32_t e2, int32_t two_piece,
+                        int32_t s_cap, uint8_t* run_ops, int32_t* run_lens,
+                        int64_t run_cap, int64_t* run_offsets, int32_t* scores,
+                        int64_t* stats) {
+  Penalties pen{x, o1, e1, o2, e2, two_piece != 0};
+  Aligner a(pen);
+  int64_t pos = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int score = a.align_rle(pool + qoff[i], qlen[i], pool + toff[i], tlen[i],
+                            s_cap);
+    scores[i] = score;
+    if (score >= 0) {
+      const std::vector<uint8_t>& ro = a.rev_ops();
+      const std::vector<int32_t>& rl = a.rev_lens();
+      int64_t nr = static_cast<int64_t>(ro.size());
+      if (pos + nr > run_cap) return -2;
+      for (int64_t r = 0; r < nr; ++r) {  // reversed walk -> forward runs
+        run_ops[pos + r] = ro[static_cast<size_t>(nr - 1 - r)];
+        run_lens[pos + r] = rl[static_cast<size_t>(nr - 1 - r)];
+      }
+      pos += nr;
+      stats[4 * i + 0] = a.m_cnt();
+      stats[4 * i + 1] = a.x_cnt();
+      stats[4 * i + 2] = a.i_cnt();
+      stats[4 * i + 3] = a.d_cnt();
+    } else {
+      stats[4 * i + 0] = stats[4 * i + 1] = stats[4 * i + 2] =
+          stats[4 * i + 3] = 0;
+    }
+    run_offsets[i + 1] = pos;
   }
   return 0;
 }

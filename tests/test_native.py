@@ -112,3 +112,101 @@ def test_orient_pairs_native_short_sequences():
     np.testing.assert_array_equal(
         dist_n, ref._distances[pairs[:, 0], pairs[:, 1]]
     )
+
+
+def test_batch_rle_matches_per_pair():
+    """wfa_align_batch_rle must be bit-identical to the per-pair native
+    path (scores, expanded CIGARs, and op-count stats), across all
+    three penalty modes."""
+    import numpy as np
+    import pytest
+
+    import allwave_tpu.native as N
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.testing.synth import MutationConfig, make_test_case
+    from allwave_tpu.wfa.params import resolve_penalties
+
+    if not N.available() or not hasattr(N.get_lib(), "wfa_align_batch_rle"):
+        pytest.skip("native batch entry unavailable")
+    for scores_str, seed in [
+        ("0,1,1,1", 31),
+        ("0,5,8,2", 32),
+        ("0,5,8,2,24,1", 33),
+    ]:
+        cfg = MutationConfig(
+            snp_rate=0.04, insertion_rate=0.002, deletion_rate=0.002
+        )
+        case = make_test_case(seed=seed, n_sequences=6, length=240, cfg=cfg)
+        seqs = [s.seq for s in case.sequences]
+        pen = resolve_penalties(parse_scores(scores_str))
+        qidx, tidx = [], []
+        for i in range(6):
+            for j in range(6):
+                if i != j:
+                    qidx.append(i)
+                    tidx.append(j)
+        qidx, tidx = np.asarray(qidx), np.asarray(tidx)
+        sc, ro, rl, off, st = N.wfa_align_batch_rle_native(
+            seqs, qidx, tidx, pen
+        )
+        for p in range(len(qidx)):
+            ref_score, ref_cigar = N.wfa_align_native(
+                seqs[qidx[p]], seqs[tidx[p]], pen
+            )
+            got = np.repeat(
+                ro[off[p] : off[p + 1]],
+                rl[off[p] : off[p + 1]].astype(np.int64),
+            )
+            assert ref_score == sc[p]
+            np.testing.assert_array_equal(ref_cigar, got)
+            counts = [
+                int(np.count_nonzero(ref_cigar == ord(c))) for c in "MXID"
+            ]
+            assert counts == st[p].tolist()
+
+
+def test_host_route_results_identical():
+    """The small-workload host router (UnifiedAligner._route_all_host)
+    must produce the same results as the device/XLA path — forced on
+    via ALLWAVE_HOST_ROUTE=1 on the CPU backend."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    import allwave_tpu.native as N
+    from allwave_tpu.core.scores import parse_scores
+    from allwave_tpu.testing.synth import MutationConfig, make_test_case
+    from allwave_tpu.wfa.dense_engine import UnifiedAligner
+    from allwave_tpu.wfa.params import resolve_penalties
+
+    if not N.available() or not hasattr(N.get_lib(), "wfa_align_batch_rle"):
+        pytest.skip("native batch entry unavailable")
+    cfg = MutationConfig(
+        snp_rate=0.02, insertion_rate=0.0005, deletion_rate=0.0005
+    )
+    case = make_test_case(seed=41, n_sequences=8, length=300, cfg=cfg)
+    seqs = [s.seq for s in case.sequences]
+    pen = resolve_penalties(parse_scores("0,1,1,1"))
+    qidx = np.asarray([i for i in range(8) for j in range(8) if i != j])
+    tidx = np.asarray([j for i in range(8) for j in range(8) if i != j])
+    hint = np.full(len(qidx), 40, np.int64)
+
+    def run(route):
+        os.environ["ALLWAVE_HOST_ROUTE"] = route
+        try:
+            eng = UnifiedAligner(pen)
+            return eng.align_pairs_indexed(
+                seqs, qidx, tidx, with_stats=True, sigma_hint=hint
+            )
+        finally:
+            del os.environ["ALLWAVE_HOST_ROUTE"]
+
+    res_host, st_host = run("1")
+    res_dev, st_dev = run("0")
+    np.testing.assert_array_equal(st_host, st_dev)
+    for a, b in zip(res_host, res_dev):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a[0] == b[0]
+            np.testing.assert_array_equal(a[1], b[1])
