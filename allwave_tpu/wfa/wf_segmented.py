@@ -54,6 +54,14 @@ from .batch import (
 _C_M, _C_I1, _C_D1, _C_I2, _C_D2 = 0, 1, 2, 3, 4
 _COMPS = ("m", "i1", "d1", "i2", "d2")
 
+#: TEST-ONLY mutation knob (scripts/fuzz_tpu.py): deliberately flip the
+#: traceback's X-vs-I1 tie preference to prove the fuzz battery detects
+#: a single wrong tie-break bit. Read at trace time — set the env var
+#: in a FRESH process. Never set in production.
+import os as _os
+
+_TB_FLIP = _os.environ.get("ALLWAVE_TB_FLIP") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Mismatch-bitmap extension index
@@ -454,19 +462,34 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
             jnp.maximum(jnp.maximum(cand_x, cand_i1), jnp.maximum(cand_d1, cand_i2)),
             cand_d2,
         )
-        choice = jnp.where(
-            cand_x == pre,
-            _C_M,
-            jnp.where(
+        if _TB_FLIP:  # test-only: I1 preferred over X (see knob above)
+            choice = jnp.where(
                 cand_i1 == pre,
                 _C_I1,
                 jnp.where(
-                    cand_i2 == pre,
-                    _C_I2,
-                    jnp.where(cand_d1 == pre, _C_D1, _C_D2),
+                    cand_x == pre,
+                    _C_M,
+                    jnp.where(
+                        cand_i2 == pre,
+                        _C_I2,
+                        jnp.where(cand_d1 == pre, _C_D1, _C_D2),
+                    ),
                 ),
-            ),
-        )
+            )
+        else:
+            choice = jnp.where(
+                cand_x == pre,
+                _C_M,
+                jnp.where(
+                    cand_i1 == pre,
+                    _C_I1,
+                    jnp.where(
+                        cand_i2 == pre,
+                        _C_I2,
+                        jnp.where(cand_d1 == pre, _C_D1, _C_D2),
+                    ),
+                ),
+            )
         n_match = jnp.where(at_origin, h, h - pre)
 
         # ----- gap states: extend preferred over open -----
@@ -563,6 +586,105 @@ def _traceback_window(hist, buf_ckpt, s_lo, walk, bufs, *, pen, n_steps, run_cap
     carry = jax.lax.while_loop(cond, body, carry)
     (s, c, h, comp, active, ops, lens, nrun, overflow, _) = carry
     return (s, c, h, comp, active), (ops, lens, nrun, overflow)
+
+
+def _slice_rows(x, r0, R: int, r_sub: int):
+    """Per-pair row-window slice of a rows-layout array:
+    (lead..., B*R, 128) -> (lead..., B*r_sub, 128), pair b keeping rows
+    r0[b] .. r0[b]+r_sub (r0 in 128-diagonal row units)."""
+    lead = x.shape[:-2]
+    B = r0.shape[0]
+    xr = x.reshape(lead + (B, R, 128))
+    nlead = len(lead)
+
+    def take(xb, rb):
+        return jax.lax.dynamic_slice_in_dim(xb, rb, r_sub, axis=nlead)
+
+    xs = jax.vmap(take, in_axes=(nlead, 0), out_axes=nlead)(xr, r0)
+    return xs.reshape(lead + (B * r_sub, 128))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pen", "k_width", "k_sub", "l_pad", "n_steps", "run_cap",
+        "interpret",
+    ),
+)
+def wf_replay_tb_narrow(
+    mmt,
+    hmax_r,
+    cmask_r,
+    tlens,
+    ck,  # ring-image checkpoint at score s_lo: comp -> (dep, B*R, 128)
+    s_lo,
+    walk,
+    bufs,
+    pen: Penalties,
+    k_width: int,
+    k_sub: int,
+    l_pad: int,
+    n_steps: int,
+    run_cap: int,
+    interpret: bool = False,
+):
+    """One backward segment (replay + traceback) over a NARROW per-pair
+    sub-band of k_sub diagonals centered on each walker, instead of the
+    full k_width band.
+
+    Correctness (influence cone): within a segment of C = n_steps score
+    levels, a walker's diagonal drifts at most C from its entry (every
+    c move costs >= min(e1, e2) >= 1 score), and a replayed value read
+    at level j above the checkpoint depends only on seed diagonals
+    within +-j of it — so every value the walk reads lies inside
+    [c_entry - (C+1), c_entry + (C+1)], which the sub-band covers when
+    k_sub >= 2C + 256 (the extra 128+ absorbs the 128-alignment of the
+    sub-band origin). Values outside that cone may be garbage at the
+    sub-band edges (NULL inflow instead of neighbor rows) but are never
+    read. Replay work drops by k_sub/k_width (6144->768 diagonals on
+    the 100 kb low-divergence bench set at K=4096+)."""
+    from . import pallas_wf as P
+
+    B = tlens.shape[0]
+    R = k_width // 128
+    R_s = k_sub // 128
+    D = pen.max_lookback + 1
+    s0, c0w, h0, comp0, act0 = walk
+
+    c_lo = jnp.clip(
+        ((c0w - k_sub // 2) // 128) * 128, 0, k_width - k_sub
+    ).astype(jnp.int32)
+    r0 = (c_lo // 128).astype(jnp.int32)
+
+    # mmt's axis 1 is indexed in 32-diagonal SUBGROUPS (4 per 128-row)
+    mmt_s = jax.vmap(
+        lambda m, r: jax.lax.dynamic_slice_in_dim(m, 4 * r, 4 * R_s, axis=0)
+    )(mmt, r0)
+    hmax_s = _slice_rows(hmax_r, r0, R, R_s)
+    cmask_s = _slice_rows(cmask_r, r0, R, R_s)
+    ck_s = {c: _slice_rows(ck[c], r0, R, R_s) for c in _COMPS}
+
+    hist = P.wf_hist_span_pallas(
+        mmt_s,
+        hmax_s,
+        cmask_s,
+        tlens,
+        jnp.zeros((B,), jnp.int32),
+        s_lo,
+        ck_s,
+        pen,
+        k_sub,
+        l_pad,
+        n_steps,
+        interpret=interpret,
+    )
+    head = P.ckpt_to_buf(ck_s, s_lo, pen, k_sub, D)
+    walk_rel = (s0, c0w - c_lo, h0, comp0, act0)
+    (s1, c1, h1, comp1, act1), bufs = _traceback_window(
+        hist, head, s_lo, walk_rel, bufs,
+        pen=pen, n_steps=n_steps, run_cap=run_cap,
+    )
+    return (s1, c1 + c_lo, h1, comp1, act1), bufs
 
 
 # ---------------------------------------------------------------------------
@@ -732,6 +854,24 @@ class WavefrontSegmentedAligner:
                 results[i] = self.DENSE_FALLBACK
                 continue
             rounds.setdefault((ki, si), []).append(i)
+
+        if self.impl == "pallas" and len(rounds) > 1:
+            # merge rounds that share a band width at the LARGEST score
+            # cap: s_cap cannot affect output bytes (the sweep
+            # early-exits per pair, replay depth derives from measured
+            # scores, and run caps derive from scores), so this is
+            # byte-stable — unlike K, which stays the pair-deterministic
+            # quantized value because co-optimal tie-breaks can depend
+            # on it. Without this, hint noise across a pow2 s_cap
+            # boundary fragments a workload into multiple dispatch
+            # chains (measured: 4 rounds over 56 pairs on the 100 kb
+            # low-divergence bench set, each paying its own bitmap
+            # build + sweep + replay chain).
+            by_k: Dict[int, Tuple[int, List[int]]] = {}
+            for (ki, si), idxs in rounds.items():
+                s_prev, lst = by_k.get(ki, (0, []))
+                by_k[ki] = (max(s_prev, si), lst + idxs)
+            rounds = {(ki, si): idxs for ki, (si, idxs) in by_k.items()}
 
         while rounds:
             (k, s_cap) = min(rounds)
@@ -1036,8 +1176,22 @@ class WavefrontSegmentedAligner:
         D = self.pen.max_lookback + 1
         smax = int(scores_h[cert].max()) if cert.any() else 0
         top = min(max(0, (smax - 1) // C), n_steps // C - 1)
+        # narrow-band replay: each walker only ever reads diagonals
+        # within +-(C+1) of its segment entry (see wf_replay_tb_narrow),
+        # so wide-band groups replay a k_sub-wide per-pair sub-band
+        # instead of the full K
+        k_sub = -(-(2 * C + 256) // 128) * 128
+        narrow = k > k_sub
         for seg in range(top, -1, -1):
             ck = {c: cks[c][seg] for c in P._COMPS}
+            if narrow:
+                walk, bufs = wf_replay_tb_narrow(
+                    mmt, hmax_r, cmask_r, tlens_d, ck,
+                    jnp.int32(seg * C), walk, bufs,
+                    pen=self.pen, k_width=k, k_sub=k_sub, l_pad=l_pad,
+                    n_steps=C, run_cap=run_cap, interpret=interpret,
+                )
+                continue
             hist = P.wf_hist_span_pallas(
                 mmt, hmax_r, cmask_r, tlens_d, feas, jnp.int32(seg * C), ck,
                 self.pen, k, l_pad, C, interpret=interpret,

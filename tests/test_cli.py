@@ -123,10 +123,7 @@ def basic_case(tmp_path_factory):
 
 def test_basic_all_pairs(basic_case):
     case, path = basic_case
-    proc = run_cli(
-        ["-i", path, "-p", "none", "-t", "1", "--no-progress"],
-        in_process=False,  # keep one true `python -m allwave_tpu.cli` smoke
-    )
+    proc = run_cli(["-i", path, "-p", "none", "-t", "1", "--no-progress"])
     records = parse_paf(proc.stdout)
     n = len(case.sequences)
     assert len(records) == n * (n - 1)  # directed all-pairs
@@ -352,16 +349,27 @@ def test_wfa_orientation_flag(tmp_path):
     assert by_pair[("t", "r")]["strand"] == "-"
 
 
-def test_resume_skips_done_pairs(tmp_path):
-    """--resume appends only the missing pairs; the merged file covers
-    every pair exactly once."""
+def test_cli_module_entry_smoke():
+    """The real `python -m allwave_tpu.cli` entry point still parses
+    args and fails cleanly — the one remaining subprocess rung, kept
+    cheap by exiting at argparse (no alignment, no device work)."""
     import subprocess
     import sys
 
-    # own tiny FASTA (length < 128 -> smallest l_pad bucket): this test
-    # necessarily hits fresh jit shapes in BOTH subprocess runs (the
-    # resumed pair subset has a different batch size), so keep compiles
-    # cheap
+    r = subprocess.run(
+        [sys.executable, "-m", "allwave_tpu.cli", "--help"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "-i" in r.stdout and "--sparsification" in r.stdout
+
+
+def test_resume_skips_done_pairs(tmp_path):
+    """--resume appends only the missing pairs; the merged file covers
+    every pair exactly once."""
     case = make_test_case(
         seed=77,
         n_sequences=4,
@@ -372,23 +380,16 @@ def test_resume_skips_done_pairs(tmp_path):
     case.write_fasta(str(fa))
     out = tmp_path / "out.paf"
     # full run to learn the expected record set
-    r = subprocess.run(
-        [sys.executable, "-m", "allwave_tpu.cli", "-i", str(fa), "-p",
-         "none", "-o", str(out), "--no-progress"],
-        capture_output=True, text=True,
-    )
-    assert r.returncode == 0, r.stderr
+    r = run_cli(["-i", str(fa), "-p", "none", "-o", str(out), "--no-progress"])
     full = sorted(out.read_text().strip().splitlines())
     assert full
     # truncate to half and resume
     half = full[: len(full) // 2]
     out.write_text("\n".join(half) + "\n")
-    r = subprocess.run(
-        [sys.executable, "-m", "allwave_tpu.cli", "-i", str(fa), "-p",
-         "none", "-o", str(out), "--no-progress", "--resume"],
-        capture_output=True, text=True,
+    r = run_cli(
+        ["-i", str(fa), "-p", "none", "-o", str(out), "--no-progress",
+         "--resume"]
     )
-    assert r.returncode == 0, r.stderr
     assert "Resuming:" in r.stderr
     merged = sorted(out.read_text().strip().splitlines())
     keys = [(l.split("\t")[0], l.split("\t")[5]) for l in merged]
