@@ -995,6 +995,17 @@ def run_dp_chunk_t(
 
     @pl.when(jax.lax.rem(d_base, W) == 0)
     def _refill():
+        # WINDOWED streams: steps read the band at a sliding sublane
+        # offset instead of physically rolling the whole (W+K, TB)
+        # buffers every step (2 rolls + 2 full-buffer stores per step
+        # was a large slice of the step budget at K=128). Content is
+        # static within a chunk; the per-chunk normalize below shifts
+        # the consumed period out so offsets restart at the same rows.
+        @pl.when(d_base > 0)
+        def _shift():
+            qb_ref[:] = pltpu.roll(qb_ref[:], W, axis=0)
+            tb_ref[:] = pltpu.roll(tb_ref[:], tb_ref.shape[0] - W, axis=0)
+
         qb_ref[:W, :] = qheads_ref[:]
         tb_ref[K:, :] = ttails_ref[:]
 
@@ -1007,12 +1018,11 @@ def run_dp_chunk_t(
     def step(j, _):
         d = d_base + j + 1
 
-        qb_ext = pltpu.roll(qb_ref[:], shift=1, axis=0)
-        tb_ext = pltpu.roll(tb_ref[:], shift=tb_ref.shape[0] - 1, axis=0)
-        qb_ref[:] = qb_ext
-        tb_ref[:] = tb_ext
-        qb = qb_ext[W:, :]
-        tb = tb_ext[:K, :]
+        # sliding-window reads of the static-per-chunk stream buffers
+        # (byte-identical to the former roll-by-1-then-read: after j+1
+        # rolls, row i held chunk-start row i-(j+1))
+        qb = qb_ref[pl.ds(W - 1 - j, K)]
+        tb = tb_ref[pl.ds(j + 1, K)]
 
         lo = jnp.maximum(d - q2, -d)
         hi = jnp.minimum(t2 - d, d)

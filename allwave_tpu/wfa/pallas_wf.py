@@ -130,10 +130,8 @@ def build_mmt(qs, ts, qlens, tlens, k0, k_width: int, ws: int):
     q_sh = jnp.take_along_axis(
         jnp.pad(qs, ((0, 0), (0, 1))), jnp.clip(pos_ext, 0, L), axis=1
     )
-    # bit-pack weights for the int8 MXU dot: byte j of a word gets bits
-    # 8j..8j+7, little-endian within the byte
-    w8 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, -128], jnp.int8)[:, None]
     warange32 = jnp.arange(LW, dtype=jnp.int32)[None, :] * 32  # (1, LW)
+    bitw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
 
     def one_subgroup(sg):
         # PHASE-PACKED block for 32 diagonals c = 32*sg + d: out lane
@@ -143,33 +141,27 @@ def build_mmt(qs, ts, qlens, tlens, k0, k_width: int, ws: int):
         # ~130 ms per group at K=2048), and packs phases in-block so no
         # full-size transpose of the (B, K, LW) cube is ever needed.
         #
-        # Per diagonal, only the byte compare runs at (B, L) size; the
-        # 0/1 bytes pack into words via an int8 dot (MXU), and the
-        # range conditions (v < 0, v >= qlen, h >= tlen) apply as
-        # prefix/suffix masks in WORD space — the h range they stop is
-        # the contiguous complement of [a, b_hi) below. Out-of-range
-        # compare garbage (clipped q_sh reads) is fully covered by
-        # those masks. ~3x the throughput of the all-elementwise build
-        # (the former per-element where/sum dominated group init).
+        # Per diagonal, the byte compare + where/sum bit-pack runs at
+        # (B, L) size; the range conditions (v < 0, v >= qlen,
+        # h >= tlen) apply as prefix/suffix masks in WORD space (their
+        # stop range is the contiguous complement of [a, b_hi) below),
+        # and compare garbage from clipped q_sh reads is fully covered
+        # by those masks. (Measured on v5e: an int8-dot bit-pack was 3x
+        # SLOWER — tiny-N matmuls pad terribly — and uint32 SWAR
+        # formulations hit pathological multi-minute compiles; the
+        # where/sum pack matches the all-elementwise build's speed
+        # while keeping the masks off the per-element path.)
         words = []
         for d in range(32):
             c = sg * 32 + d
             qc = jax.lax.dynamic_slice_in_dim(q_sh, K - c, L, axis=1)
-            cmp = (qc != ts).astype(jnp.int8).reshape(B, LW * 4, 8)
-            # bit 7's int8 weight is -128; & 0xFF recovers the byte
-            byte = (
-                jax.lax.dot_general(
-                    cmp, w8, (((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )[..., 0]
-                & 0xFF
-            ).reshape(B, LW, 4)
-            word = (
-                byte[..., 0]
-                | (byte[..., 1] << 8)
-                | (byte[..., 2] << 16)
-                | (byte[..., 3] << 24)
-            )
+            word = jnp.sum(
+                jnp.where(
+                    (qc != ts).reshape(B, LW, 32), bitw, jnp.uint32(0)
+                ),
+                axis=2,
+                dtype=jnp.uint32,
+            ).astype(jnp.int32)
             a = k0 + c  # stop where h < a  (v < 0)
             b_hi = jnp.minimum(tlens, qlens + a)  # stop where h >= b_hi
             pa = jnp.clip(a[:, None] - warange32, 0, 32)

