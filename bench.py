@@ -265,6 +265,7 @@ def _run_scale10k(budget_left):
     ~1.2M-pair run is hours); the measured stages are the ones that
     scale with n (pair build, sketching/orientation)."""
     import resource
+    import threading
 
     from allwave_tpu.core.scores import parse_scores
     from allwave_tpu.core.types import ConnectivitySparsification
@@ -273,6 +274,30 @@ def _run_scale10k(budget_left):
 
     if budget_left <= 0:
         return {"config": "6_scale10k", "skipped": "bench budget exhausted"}
+
+    # config-SPECIFIC peak RSS, sampled from /proc (ru_maxrss is a
+    # process-wide high-water mark — round 4 reported 11.6 GB here that
+    # actually accrued during the earlier large-batch configs in the
+    # same process)
+    def _vm_rss_mb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return float(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+    peak = {"mb": _vm_rss_mb()}
+    stop_flag = threading.Event()
+
+    def _sampler():
+        while not stop_flag.wait(0.05):
+            peak["mb"] = max(peak["mb"], _vm_rss_mb())
+
+    sampler = threading.Thread(target=_sampler, daemon=True)
+    sampler.start()
     try:
         t0 = time.time()
         cfg = MutationConfig(
@@ -306,7 +331,9 @@ def _run_scale10k(budget_left):
             if len(out) >= sample_n:
                 break
         t_align = time.time() - t0
-        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        stop_flag.set()
+        sampler.join(timeout=1)
+        proc_peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         return {
             "config": "6_scale10k",
             "n_seqs": len(seqs),
@@ -316,9 +343,11 @@ def _run_scale10k(budget_left):
             "aligned_sample": len(out),
             "sample_align_s": round(t_align, 2),
             "sample_aln_per_sec": round(len(out) / max(t_align, 1e-9), 1),
-            "peak_rss_mb": round(rss_mb, 1),
+            "peak_rss_mb": round(peak["mb"], 1),
+            "process_peak_rss_mb": round(proc_peak, 1),
         }
     except Exception as e:
+        stop_flag.set()
         return {"config": "6_scale10k", "error": f"{type(e).__name__}: {e}"[:500]}
 
 

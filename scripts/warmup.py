@@ -54,6 +54,54 @@ def main() -> int:
                 f"warmed L~{length} K={k}: {time.time() - t0:.1f}s",
                 file=sys.stderr,
             )
+    # long-pair shapes (bench configs 5/5b): run miniature versions of
+    # the EXACT bench workloads (same seeds/sizes -> same kernel
+    # shapes: wf sweep + narrow replay + traceback at the hint-derived
+    # K rungs, and the dense segmented 100 kb path). WARMUP_LONG=0
+    # skips.
+    if os.environ.get("WARMUP_LONG", "1") != "0":
+        from allwave_tpu.core.types import NoSparsification
+        from allwave_tpu.engine.pipeline import AllPairAligner
+
+        for name, seed, cfg in (
+            (
+                "5b",
+                18,
+                MutationConfig(
+                    snp_rate=0.0025,
+                    insertion_rate=0.0001,
+                    deletion_rate=0.0001,
+                ),
+            ),
+            (
+                "5",
+                17,
+                MutationConfig(
+                    snp_rate=0.02,
+                    insertion_rate=0.0005,
+                    deletion_rate=0.0005,
+                ),
+            ),
+        ):
+            n = 8 if name == "5b" else 4
+            case = make_test_case(
+                seed=seed, n_sequences=n, length=100_000, cfg=cfg
+            )
+            t0 = time.time()
+            al = AllPairAligner(
+                case.sequences,
+                parse_scores("0,5,8,2,24,1"),
+                exclude_self=True,
+                use_mash_orientation=True,
+                sparsification=NoSparsification(),
+            )
+            out = []
+            al.for_each_with_callback(out.append)
+            print(
+                f"warmed config {name} (100 kb x{n}): {time.time()-t0:.1f}s",
+                file=sys.stderr,
+            )
+
     print(f"warmup done in {time.time() - total0:.0f}s", file=sys.stderr)
     return 0
 
