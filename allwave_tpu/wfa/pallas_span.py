@@ -338,6 +338,93 @@ def make_group_streams(qs, ts, qlens, tlens, k_width: int, l_pad: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "pen", "k_full", "k_sub", "l_pad", "n_steps", "with_choices",
+        "interpret",
+    ),
+)
+def dense_span_pallas_sub(
+    streams,  # make_group_streams output, built at the FULL band width
+    qlens,
+    tlens,
+    k0_full,  # (B,) full-band origin from _band_geometry(.., k_full)
+    c_lo,  # (B,) per-pair sub-band origin (diagonals), 128/period-aligned
+    pen: Penalties,
+    k_full: int,
+    k_sub: int,
+    l_pad: int,
+    d_lo,  # traced scalar, multiple of the stream period
+    n_steps: int,
+    state_sub,  # (S, I1, D1, I2, D2) each (B, k_sub), pre-sliced at c_lo
+    with_choices: bool,
+    interpret: bool = False,
+):
+    """Replay a span over a per-pair SUB-BAND [c_lo, c_lo + k_sub) of
+    the full k_full band, reusing the group streams built at k_full.
+
+    The stream/register recipes are linear in the band origin, so the
+    sub-band's inputs are plain slices of the (doubled) group streams
+    at +c_lo offsets: qb0 at (2L - d_lo) + c_lo, tb0 at d_lo + c_lo,
+    heads at (d_lo - c_lo) mod 2L, tails at (d_lo + c_lo + k_sub -
+    k_full) mod 2L — verified cell-for-cell against the full-band span
+    in tests/test_segmented_narrow.py. c_lo must be aligned to the
+    stream period (the head stream's window reversal). Cells outside
+    the influence cone of the sub-band seed differ from the full band
+    (edge inflow is INF); callers must only read in-cone cells (the
+    traceback's reads all are — see segmented._replay_tb_block)."""
+    q_heads_all, t_tails_all, qb0d, tb0d = streams
+    B = qlens.shape[0]
+    D2 = 2 * l_pad
+    _, _, period = _tiles_for(k_full, l_pad)
+    tb, d_chunk_s, _ = _tiles_for(k_sub, l_pad)
+    d_chunk = min(d_chunk_s, period, n_steps)
+    while tb > 1 and B % tb:
+        tb //= 2
+    if n_steps % d_chunk or n_steps % period or period % d_chunk:
+        raise ValueError(
+            f"n_steps ({n_steps}) must be a multiple of the d-chunk "
+            f"({d_chunk}) and the stream period ({period})"
+        )
+    if 128 % period:
+        # c_lo is 128-aligned by the caller; the head-stream window
+        # reversal requires the slice offset be period-aligned
+        raise ValueError(f"sub-band slicing needs period | 128, got {period}")
+    d_lo = jnp.asarray(d_lo, jnp.int32)
+    c_lo = c_lo.astype(jnp.int32)
+    k0s = (k0_full + c_lo).astype(jnp.int32)
+
+    qh2 = jnp.concatenate([q_heads_all, q_heads_all], axis=1)
+    tt2 = jnp.concatenate([t_tails_all, t_tails_all], axis=1)
+
+    def sl(x, off, n):
+        return jax.lax.dynamic_slice_in_dim(x, off, n, axis=0)
+
+    q_heads_rev = jax.vmap(sl, in_axes=(0, 0, None))(
+        qh2, jnp.mod(d_lo - c_lo, D2), n_steps
+    ).astype(jnp.int32)
+    t_tails = jax.vmap(sl, in_axes=(0, 0, None))(
+        tt2, jnp.mod(d_lo + c_lo + (k_sub - k_full), D2), n_steps
+    ).astype(jnp.int32)
+    qb0 = jax.vmap(sl, in_axes=(0, 0, None))(
+        qb0d, D2 - d_lo + c_lo, k_sub
+    ).astype(jnp.int32)
+    tb0 = jax.vmap(sl, in_axes=(0, 0, None))(
+        tb0d, d_lo + c_lo, k_sub
+    ).astype(jnp.int32)
+
+    outs = _span_call(
+        qb0, tb0, q_heads_rev, t_tails, qlens, tlens, k0s, d_lo,
+        state_sub, pen, k_sub, tb, d_chunk, period, n_steps,
+        with_choices, interpret,
+    )
+    state_out = tuple(outs[:5])
+    if with_choices:
+        return state_out, (outs[5], outs[6])
+    return state_out, None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "pen", "k_width", "l_pad", "n_steps", "with_choices", "interpret"
     ),
 )

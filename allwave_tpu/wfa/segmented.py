@@ -550,8 +550,8 @@ def _traceback_core(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pen", "k_width", "l_pad", "ckpt_every", "n_blk", "run_cap",
-        "interpret",
+        "pen", "k_width", "k_sub", "l_pad", "ckpt_every", "n_blk",
+        "run_cap", "interpret",
     ),
 )
 def _replay_tb_block(
@@ -559,11 +559,13 @@ def _replay_tb_block(
     ckpts,  # 5 x (n_seg, B, K) int32 stacked checkpoints
     qlens,
     tlens,
+    k0_full,  # (B,) full-band origin
     seg0,  # traced scalar: highest segment index of this block
     walk,
     bufs,
     pen: Penalties,
     k_width: int,
+    k_sub: int,
     l_pad: int,
     ckpt_every: int,
     n_blk: int,
@@ -577,8 +579,17 @@ def _replay_tb_block(
     wall while the device work is ~100 ms). Segment indices below 0
     clamp to 0 and re-run segment 0's traceback, which is a natural
     no-op: every walker there is already finished (d <= 0), so nothing
-    steps and nothing emits."""
-    from .pallas_span import dense_span_pallas_pre
+    steps and nothing emits.
+
+    When k_width > k_sub, each segment replays only a per-pair SUB-BAND
+    of k_sub diagonals centered on the walker (dense_span_pallas_sub):
+    within a C-step segment a walker's diagonal moves at most C (every
+    c move is a gap hop costing one anti-diagonal step) and the replay
+    influence cone grows one diagonal per step, so every cell the
+    traceback reads lies within +-C of the segment entry — covered with
+    margin when k_sub >= 2C + 256 + alignment. Replay work drops by
+    k_sub/k_width (16384 -> ~4.5k diagonals on 100 kb bands)."""
+    from .pallas_span import dense_span_pallas_pre, dense_span_pallas_sub
 
     C = ckpt_every
     for g in range(n_blk):
@@ -587,13 +598,37 @@ def _replay_tb_block(
             jax.lax.dynamic_index_in_dim(c, seg, 0, keepdims=False)
             for c in ckpts
         )
-        _, planes = dense_span_pallas_pre(
-            gs, qlens, tlens, pen, k_width, l_pad, seg * C, C, state,
-            True, interpret=interpret,
-        )
-        walk, bufs = _traceback_core(
-            planes, seg * C, walk, bufs, qlens, tlens, pen, run_cap
-        )
+        if k_width > k_sub:
+            c_w = walk[1]
+            c_lo = jnp.clip(
+                ((c_w - k_sub // 2) // 128) * 128, 0, k_width - k_sub
+            ).astype(jnp.int32)
+            state_s = tuple(
+                jax.vmap(
+                    lambda st, cl: jax.lax.dynamic_slice_in_dim(
+                        st, cl, k_sub, axis=0
+                    )
+                )(comp_arr, c_lo)
+                for comp_arr in state
+            )
+            _, planes = dense_span_pallas_sub(
+                gs, qlens, tlens, k0_full, c_lo, pen, k_width, k_sub,
+                l_pad, seg * C, C, state_s, True, interpret=interpret,
+            )
+            walk_rel = (walk[0], walk[1] - c_lo) + walk[2:]
+            walk, bufs = _traceback_core(
+                planes, seg * C, walk_rel, bufs, qlens, tlens, pen,
+                run_cap,
+            )
+            walk = (walk[0], walk[1] + c_lo) + walk[2:]
+        else:
+            _, planes = dense_span_pallas_pre(
+                gs, qlens, tlens, pen, k_width, l_pad, seg * C, C, state,
+                True, interpret=interpret,
+            )
+            walk, bufs = _traceback_core(
+                planes, seg * C, walk, bufs, qlens, tlens, pen, run_cap
+            )
     return walk, bufs
 
 
@@ -606,8 +641,11 @@ def _replay_tb_block(
 class SegmentedConfig:
     k_initial: int = 128
     k_max: int = 1 << 14
-    #: anti-diagonal steps per checkpoint segment
-    ckpt_every: int = 4096
+    #: anti-diagonal steps per checkpoint segment. The narrow replay's
+    #: sub-band width is ~2C, so smaller C cuts replay work
+    #: quadratically on wide bands; 2048 balances that against sweep
+    #: dispatch count and checkpoint memory (5 planes x K per segment)
+    ckpt_every: int = 2048
     #: memory budget for one segment's choice+run planes
     seg_budget_bytes: int = 2 << 30
     max_batch: int = 256
@@ -902,14 +940,19 @@ class SegmentedDenseAligner:
         d0_max = int(np.asarray(d).max()) if B else 0
         top_seg = min(n_seg_eff - 1, max(0, (d0_max - 1)) // C)
         if span_fn is not None:
-            # fused replay+traceback blocks: one dispatch per G segments
+            # fused replay+traceback blocks: one dispatch per G segments;
+            # wide bands replay a narrow per-pair sub-band (cone bound,
+            # see _replay_tb_block)
             G = 8
+            k_sub = min(K, -(-(2 * C + 320) // 128) * 128)
             seg = top_seg
             while seg >= 0:
                 walk, bufs = _replay_tb_block(
-                    gs, ckpts, qlens, tlens, jnp.int32(seg), walk, bufs,
-                    pen=self.pen, k_width=K, l_pad=l_pad, ckpt_every=C,
-                    n_blk=G, run_cap=run_cap, interpret=interpret,
+                    gs, ckpts, qlens, tlens, k0_arr, jnp.int32(seg),
+                    walk, bufs,
+                    pen=self.pen, k_width=K, k_sub=k_sub, l_pad=l_pad,
+                    ckpt_every=C, n_blk=G, run_cap=run_cap,
+                    interpret=interpret,
                 )
                 seg -= G
         else:

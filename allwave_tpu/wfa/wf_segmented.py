@@ -1007,7 +1007,7 @@ class WavefrontSegmentedAligner:
                 from . import pallas_wf as P
 
                 depth_sum = sum(P.comp_depths(self.pen).values())
-                k_rep = min(k, -(-(2 * C + 256) // 128) * 128)
+                k_rep = min(k, -(-(2 * C + 320) // 128) * 128)
                 per_pair = (
                     4 * k * (n_seg + 1) * depth_sum  # checkpoints
                     + k * l_est // 8  # mmt bitmap
@@ -1316,7 +1316,7 @@ class WavefrontSegmentedAligner:
         # +-(C+1) of its segment entry — see wf_replay_tb_narrow) in
         # blocks of N_BLK segments per dispatch (per-dispatch tunnel
         # latency otherwise dominates small groups' backward chains)
-        k_sub = -(-(2 * C + 256) // 128) * 128
+        k_sub = -(-(2 * C + 320) // 128) * 128
         N_BLK = 4
         seg = top
         while seg >= 0:
