@@ -68,7 +68,7 @@ while time.time() < t_end:
             o = native.wfa_align_native(pairs[i][0], pairs[i][1], pen)
             if o is not None and (o[0] != rs[0][0] or not np.array_equal(np.asarray(o[1]), rs[0][1])):
                 fail += 1; print("ORACLE MISMATCH", params, i)
-print(f"fuzz2 (xla vs pallas vs segmented vs oracle): {n_cases} cases, {fail} failures")
+print(f"fuzz2 (xla vs pallas vs segmented vs oracle): {n_cases} cases, {fail} failures", flush=True)
 
 # ---------------------------------------------------------------------------
 # Phase 2 — the wavefront engine (pallas_wf sweep + narrow replay +
@@ -101,15 +101,16 @@ _WF_PARAMS = [
 _wf_engines = {}
 wf_iter = 0
 while time.time() < t_end2 and wf_cases < 400:
-    params = _WF_PARAMS[wf_iter % len(_WF_PARAMS)]
+    pi = wf_iter % len(_WF_PARAMS)
+    params = _WF_PARAMS[pi]
     wf_iter += 1
     pen = resolve_penalties(params)
-    if params not in _wf_engines:
-        _wf_engines[params] = (
+    if pi not in _wf_engines:
+        _wf_engines[pi] = (
             WavefrontSegmentedAligner(pen, WfSegConfig(), impl="pallas"),
             SegmentedDenseAligner(pen, SegmentedConfig(impl="pallas")),
         )
-    wf, sg2 = _wf_engines[params]
+    wf, sg2 = _wf_engines[pi]
     pairs = []
     hints = []
     L = int(wf_rng.choice([10_000, 25_000, 60_000, 100_000]))
@@ -136,6 +137,7 @@ while time.time() < t_end2 and wf_cases < 400:
                  else np.concatenate([t[:p], wf_rng.choice(acgt, ln), t[p:]]))
         pairs.append((q.tobytes(), t.tobytes()))
         hints.append(int(div * len(q) * x * 1.5 + 64))
+    print(f"  wf iter {wf_iter}: L={L} cases so far {wf_cases}", flush=True)
     a = wf.align_pairs(pairs, sigma_hint=hints)
     fb = [j for j, r in enumerate(a) if r is WavefrontSegmentedAligner.DENSE_FALLBACK]
     wf_fallbacks += len(fb)
@@ -158,7 +160,8 @@ while time.time() < t_end2 and wf_cases < 400:
             wf_fail += 1; print("WF INVALID CIGAR", params, i, e)
 print(
     f"fuzz-wf (pallas-wf sweep+replay vs dense-segmented): {wf_cases} cases,"
-    f" {wf_fail} failures, {wf_fallbacks} fallback-sentinel routings"
+    f" {wf_fail} failures, {wf_fallbacks} fallback-sentinel routings",
+    flush=True,
 )
 
 # ---------------------------------------------------------------------------
