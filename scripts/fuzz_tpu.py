@@ -136,7 +136,7 @@ while time.time() < t_end2 and wf_cases < 400:
             t = (np.concatenate([t[:p], t[p+ln:]]) if wf_rng.rand() < 0.5
                  else np.concatenate([t[:p], wf_rng.choice(acgt, ln), t[p:]]))
         pairs.append((q.tobytes(), t.tobytes()))
-        hints.append(int(div * len(q) * x * 1.5 + 64))
+        hints.append(int(div * len(q) * pen.x * 1.5 + 64))
     print(f"  wf iter {wf_iter}: L={L} cases so far {wf_cases}", flush=True)
     a = wf.align_pairs(pairs, sigma_hint=hints)
     fb = [j for j, r in enumerate(a) if r is WavefrontSegmentedAligner.DENSE_FALLBACK]
