@@ -826,10 +826,16 @@ class SegmentedDenseAligner:
         # the replay kernel writes TWO u8 choice planes on top of the
         # five band in/out/scratch copies; at K = 16384 (tb = 8) that
         # sums to ~18 MB of scoped VMEM — over the 16 MB limit (observed
-        # Mosaic stack OOM). Cap the replay one ladder rung lower.
+        # Mosaic stack OOM). The limit applies to the REPLAY width: the
+        # narrow sub-band replay (k_sub ~ 2C+320) stays under it even
+        # when the full band is at the 16384 ceiling, so wide bands keep
+        # the Pallas replay via the narrow path instead of falling to
+        # the XLA spans (which made 100 kb high-divergence replays the
+        # dominant cost through round 4).
+        k_sub_est = -(-(2 * C + 320) // 128) * 128
         span_impl = impl
         if impl == "pallas":
-            if k > K_MAX_SPAN_PALLAS:
+            if k > K_MAX_SPAN_PALLAS and k_sub_est > K_MAX_SPAN_PALLAS:
                 span_impl = "xla"
             elif os.environ.get("ALLWAVE_SPAN_C2") == "1":
                 # parity-compressed span: half the vector work per
@@ -942,9 +948,16 @@ class SegmentedDenseAligner:
         if span_fn is not None:
             # fused replay+traceback blocks: one dispatch per G segments;
             # wide bands replay a narrow per-pair sub-band (cone bound,
-            # see _replay_tb_block)
+            # see _replay_tb_block; ALLWAVE_DENSE_NARROW=0 forces the
+            # full-band replay)
             G = 8
-            k_sub = min(K, -(-(2 * C + 320) // 128) * 128)
+            if (
+                os.environ.get("ALLWAVE_DENSE_NARROW") == "0"
+                and K <= K_MAX_SPAN_PALLAS
+            ):
+                k_sub = K  # debug override: force the full-band replay
+            else:
+                k_sub = min(K, k_sub_est)
             seg = top_seg
             while seg >= 0:
                 walk, bufs = _replay_tb_block(
