@@ -640,7 +640,7 @@ def _replay_tb_block(
 @dataclass
 class SegmentedConfig:
     k_initial: int = 128
-    k_max: int = 1 << 14
+    k_max: int = 24576
     #: anti-diagonal steps per checkpoint segment. The narrow replay's
     #: sub-band width is ~2C, so smaller C cuts replay work
     #: quadratically on wide bands; 2048 balances that against sweep
@@ -670,8 +670,13 @@ class SegmentedDenseAligner:
     def _next_pow2(n: int) -> int:
         return 1 << max(n - 1, 1).bit_length() if n > 2 else max(n, 1)
 
+    #: top rung 24576 exceeds the fused-kernel VMEM ceiling (K_MAX):
+    #: such bands sweep on the XLA spans and replay on the Pallas
+    #: narrow sub-band — without the rung, ~9%-divergence 100 kb pairs
+    #: (score past the 16384 certificate) emitted failed-pair records
+    #: the reference would have aligned
     K_LADDER = sorted(
-        {128 << i for i in range(8)} | {384 << i for i in range(6)}
+        {128 << i for i in range(8)} | {384 << i for i in range(7)}
     )
 
     def _round_k(self, k: int) -> int:
@@ -749,8 +754,14 @@ class SegmentedDenseAligner:
             rounds = {}
             for i in range(n):
                 kend_abs = abs(len(pairs[i][1]) - len(pairs[i][0]))
+                # mash hints skew HIGH at the divergences this engine
+                # serves (k-mer Jaccard saturates: measured 16.5k hints
+                # vs 11.9k true scores on 4%-divergent 100 kb pairs);
+                # shave 25% for initial band sizing — an under-shave
+                # only costs one escalation sweep, exactness unchanged
+                hint = int(sigma_hint[i])
                 ki = max(
-                    self._k_for_score(int(sigma_hint[i]), kend_abs),
+                    self._k_for_score(hint - hint // 4, kend_abs),
                     self._round_k(self.config.k_initial),
                     self._round_k(kend_abs + 2),
                 )
@@ -833,6 +844,18 @@ class SegmentedDenseAligner:
         # the XLA spans (which made 100 kb high-divergence replays the
         # dominant cost through round 4).
         k_sub_est = -(-(2 * C + 320) // 128) * 128
+        # Pallas replay usable whenever the backend supports Pallas and
+        # the (possibly narrow) replay width fits the VMEM ceiling —
+        # including bands whose SWEEP fell back to the XLA spans above
+        # K_MAX (the 24576 escalation rung): the checkpoints those
+        # sweeps produce are standard band states the sub-band replay
+        # slices directly.
+        backend_pallas = self.impl == "pallas"
+        use_pallas_replay = (
+            backend_pallas
+            and K <= 2 * l_pad
+            and min(K, k_sub_est) <= K_MAX_SPAN_PALLAS
+        )
         span_impl = impl
         if impl == "pallas":
             if k > K_MAX_SPAN_PALLAS and k_sub_est > K_MAX_SPAN_PALLAS:
@@ -851,7 +874,8 @@ class SegmentedDenseAligner:
                     span_impl = impl = "c2"
         interpret = os.environ.get("ALLWAVE_SPAN_INTERPRET") == "1"
         span_fn = None
-        if span_impl == "pallas" and K <= 2 * l_pad:
+        gs = None
+        if span_impl == "pallas" and K <= 2 * l_pad and k <= K_MAX:
             # hoist the stream precompute (four _roll_rows passes over
             # (B, 2L) arrays, ~8 ms each at 100 kb) out of the per-span
             # calls: build once per group, slice per span. The hoisted
@@ -945,11 +969,15 @@ class SegmentedDenseAligner:
         # TPU; a 100 kb batch has 64 segments)
         d0_max = int(np.asarray(d).max()) if B else 0
         top_seg = min(n_seg_eff - 1, max(0, (d0_max - 1)) // C)
-        if span_fn is not None:
+        if use_pallas_replay:
             # fused replay+traceback blocks: one dispatch per G segments;
             # wide bands replay a narrow per-pair sub-band (cone bound,
             # see _replay_tb_block; ALLWAVE_DENSE_NARROW=0 forces the
             # full-band replay)
+            if gs is None:
+                from .pallas_span import make_group_streams
+
+                gs = make_group_streams(qs, ts, qlens, tlens, K, l_pad)
             G = 8
             if (
                 os.environ.get("ALLWAVE_DENSE_NARROW") == "0"

@@ -148,9 +148,11 @@ def _run_config_inner(name, seqs, scores_str, sparsification, budget_left):
     cells = sum(
         (r.score + 1) * (2 * r.score + 1) for r in out if r.score < 2**31 - 1
     )
+    n_failed = sum(1 for r in out if r.score >= 2**31 - 1)
     row = {
         "config": name,
         "pairs": len(out),
+        "failed_pairs": n_failed,
         "aln_per_sec": round(rate, 1),
         "wall_s": round(dt, 2),
         "first_run_incl_compile_s": round(warm_s, 2),
