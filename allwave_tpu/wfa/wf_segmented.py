@@ -1007,7 +1007,7 @@ class WavefrontSegmentedAligner:
                 from . import pallas_wf as P
 
                 depth_sum = sum(P.comp_depths(self.pen).values())
-                k_rep = min(k, -(-(2 * C + 320) // 128) * 128)
+                k_rep = min(k, -(-(2 * C + 320) // 512) * 512)
                 per_pair = (
                     4 * k * (n_seg + 1) * depth_sum  # checkpoints
                     + k * l_est // 8  # mmt bitmap
@@ -1316,7 +1316,11 @@ class WavefrontSegmentedAligner:
         # +-(C+1) of its segment entry — see wf_replay_tb_narrow) in
         # blocks of N_BLK segments per dispatch (per-dispatch tunnel
         # latency otherwise dominates small groups' backward chains)
-        k_sub = -(-(2 * C + 320) // 128) * 128
+        # multiple of 512 so R_s = k_sub/128 is a multiple of 4 and the
+        # row tile tb*R_s stays a multiple of 8 (Mosaic sublane rule —
+        # a 128-multiple-only k_sub of 896 produced a (28, 128) block
+        # and a lowering error on v5e)
+        k_sub = -(-(2 * C + 320) // 512) * 512
         N_BLK = 4
         seg = top
         while seg >= 0:
