@@ -433,6 +433,23 @@ def main():
         aligner.for_each_with_callback(out.append)
         return out
 
+    # establish backend contact OUTSIDE the timed first run: the driver
+    # tunnel's first device operation per process blocks on a
+    # server-side session handoff measured at 90-557 s THIS round
+    # (instrumented: a lone (8,128) multiply after jax.devices() took
+    # 557 s while the subsequent full 16k-pair pipeline run took 2.5 s
+    # warm). That latency is tunnel infrastructure, not kernel cold
+    # start; it is reported separately so first_run_incl_compile_s
+    # keeps measuring what it was defined for (compiles).
+    from allwave_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as _jnp
+
+    t0 = time.time()
+    np.asarray(_jnp.ones((8, 128)) * 2)
+    backend_contact_s = time.time() - t0
+
     # full-shape warmup absorbs jit compilation (the driver wants
     # steady-state throughput; first-compile cost is reported separately)
     t0 = time.time()
@@ -515,6 +532,7 @@ def main():
         "pairs": len(pairs),
         "wall_s": round(dt, 2),
         "first_run_incl_compile_s": round(compile_and_first_run_s, 2),
+        "backend_first_contact_s": round(backend_contact_s, 2),
     }
     if os.environ.get("BENCH_CONFIGS", "1") != "0":
         budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
