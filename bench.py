@@ -569,6 +569,7 @@ def main():
             "pairs",
             "wall_s",
             "first_run_incl_compile_s",
+            "backend_first_contact_s",
         )
         if k in extra
     }, "full_record": "BENCH.json"}))
