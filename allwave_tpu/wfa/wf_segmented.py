@@ -759,7 +759,13 @@ def wf_replay_tb_narrow(
 @dataclass
 class WfSegConfig:
     k_initial: int = 128
-    k_max: int = 1 << 13
+    #: band ceiling. NOT 8192: at K=8192 a single pair's 64 band rows
+    #: put the sweep kernel's window+winpos+rings stack at ~18.2 MB
+    #: scoped VMEM (>16 MB — caught by the on-hardware fuzz battery on
+    #: a low-lookback penalty set); 6144 (48 rows, ~13 MB) is the
+    #: widest measured-safe rung, and wider pairs take the exact dense
+    #: segmented fallback
+    k_max: int = 6144
     #: score levels per checkpoint segment
     ckpt_every: int = 256
     #: initial score cap when no hint is available
