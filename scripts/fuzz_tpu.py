@@ -175,24 +175,40 @@ import subprocess as _sp
 _mut_code = r"""
 import numpy as np, os, sys
 sys.path.insert(0, %r)
+if os.environ.get("ALLWAVE_MUT_PLATFORM"):  # sitecustomize overrides JAX_PLATFORMS
+    import jax
+    jax.config.update("jax_platforms", os.environ["ALLWAVE_MUT_PLATFORM"])
 from allwave_tpu.core.types import AlignmentParams
 from allwave_tpu.wfa.params import resolve_penalties
 from allwave_tpu.wfa.segmented import SegmentedDenseAligner, SegmentedConfig
 from allwave_tpu.wfa.wf_segmented import WavefrontSegmentedAligner, WfSegConfig
-rng = np.random.RandomState(1234)
+rng = np.random.RandomState(int(os.environ.get("ALLWAVE_MUT_SEED", "1234")))
 acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
 pen = resolve_penalties(AlignmentParams(0, 5, 8, 2, 24, 1))
-wf = WavefrontSegmentedAligner(pen, WfSegConfig(), impl="pallas")
-sg = SegmentedDenseAligner(pen, SegmentedConfig(impl="pallas"))
+impl = os.environ.get("ALLWAVE_MUT_IMPL") or None
+wf = WavefrontSegmentedAligner(pen, WfSegConfig(), impl=impl)
+sg = SegmentedDenseAligner(pen, SegmentedConfig(impl=impl))
 pairs, hints = [], []
-for _ in range(4):
-    L = 20000
-    q = rng.choice(acgt, L)
+L = int(os.environ.get("ALLWAVE_MUT_L", "20000"))
+for _ in range(int(os.environ.get("ALLWAVE_MUT_N", "8"))):
+    # tandem repeats + homopolymers + small indels: X-vs-I1 traceback
+    # ties need repeat structure — plain-SNP pairs measured 0 flipped
+    # mismatches, so they cannot certify the battery detects the flip
+    unit = rng.choice(acgt, rng.randint(2, 7))
+    q = np.tile(unit, L // len(unit) + 1)[:L]
+    for _ in range(3):
+        p = rng.randint(0, len(q))
+        q = np.concatenate([q[:p], np.full(rng.randint(5, 40), q[p %% len(q)], np.uint8), q[p:]])
     t = q.copy()
-    mut = rng.rand(L) < 0.004
+    mut = rng.rand(len(t)) < 0.004
     t[mut] = rng.choice(acgt, mut.sum())
+    for _ in range(3):
+        p = rng.randint(0, max(1, len(t)))
+        ln = rng.randint(1, 20)
+        t = (np.concatenate([t[:p], t[p+ln:]]) if rng.rand() < 0.5
+             else np.concatenate([t[:p], rng.choice(acgt, ln), t[p:]]))
     pairs.append((q.tobytes(), t.tobytes()))
-    hints.append(int(0.004 * L * 5 * 1.5 + 64))
+    hints.append(int(0.004 * len(q) * 5 * 1.5 + 256))
 a = wf.align_pairs(pairs, sigma_hint=hints)
 b = sg.align_pairs(pairs, sigma_hint=hints)
 mismatch = sum(
