@@ -138,6 +138,17 @@ while time.time() < t_end2 and wf_cases < 400:
         pairs.append((q.tobytes(), t.tobytes()))
         hints.append(int(div * len(q) * pen.x * 1.5 + 64))
     print(f"  wf iter {wf_iter}: L={L} cases so far {wf_cases}", flush=True)
+    # truncation-safe live record: a deadline-killed run still leaves
+    # its completed-case count on disk (merged into FUZZ_TPU.json by
+    # hand if the final artifact write below never runs)
+    import json as _json
+    with open(os.path.join(os.path.dirname(__file__), "..", "tests",
+                           "artifacts", "FUZZ_TPU_live.json"), "w") as _f:
+        _json.dump({"seed": int(sys.argv[1]) if len(sys.argv) > 1 else 7777,
+                    "phase1_cases": n_cases, "phase1_failures": fail,
+                    "wf_cases_completed": wf_cases, "wf_failures": wf_fail,
+                    "wf_fallback_routings": wf_fallbacks,
+                    "in_progress": True}, _f)
     a = wf.align_pairs(pairs, sigma_hint=hints)
     fb = [j for j, r in enumerate(a) if r is WavefrontSegmentedAligner.DENSE_FALLBACK]
     wf_fallbacks += len(fb)
@@ -269,7 +280,37 @@ rec = {
         "mutation_check_tb_flip_detected": mut_detected,
     },
 }
-with open(os.path.join(art_dir, "FUZZ_TPU.json"), "w") as f:
+# runs ledger: append this run; cumulative distinct wf cases = per-seed
+# max (same seed+generator re-draws the same case stream), summed over
+# distinct seeds — so repeat runs never shrink the recorded coverage
+art_path = os.path.join(art_dir, "FUZZ_TPU.json")
+runs = []
+try:
+    with open(art_path) as f:
+        prev = json.load(f)
+    runs = prev.get("runs", [])
+    if not runs:  # migrate a pre-ledger artifact (+ its recorded prior run)
+        runs.append({"seed": prev.get("seed"), "git": prev.get("git"),
+                     "date": prev.get("date"),
+                     "wf_cases": prev.get("pallas_wf", {}).get("cases", 0),
+                     "wf_failures": prev.get("pallas_wf", {}).get("failures", 0)})
+        pr = prev.get("pallas_wf", {}).get("prior_truncated_run")
+        if pr:
+            runs.append({"seed": prev.get("seed"), "git": pr.get("git"),
+                         "wf_cases": pr.get("cases", 0),
+                         "wf_failures": pr.get("failures", 0),
+                         "truncated": True})
+except Exception:
+    pass
+runs.append({"seed": rec["seed"], "git": git, "date": rec["date"],
+             "wf_cases": wf_cases, "wf_failures": wf_fail})
+by_seed = {}
+for r_ in runs:
+    by_seed[r_["seed"]] = max(by_seed.get(r_["seed"], 0), r_["wf_cases"])
+rec["runs"] = runs
+rec["pallas_wf"]["cumulative_distinct_cases"] = sum(by_seed.values())
+rec["pallas_wf"]["cumulative_failures"] = sum(r_["wf_failures"] for r_ in runs)
+with open(art_path, "w") as f:
     json.dump(rec, f, indent=1); f.write("\n")
-print("artifact:", os.path.join(art_dir, "FUZZ_TPU.json"))
+print("artifact:", art_path)
 
